@@ -1,0 +1,18 @@
+"""lanemapping_tpu — TPU-native large-scale lane mapping from MLS point clouds.
+
+A from-scratch JAX/XLA/Pallas rebuild with the capabilities of
+WHU-USI3DV/LaneMapping (see /root/repo/SURVEY.md for the component map).
+"""
+
+from .config.config import Config, ConfigDict  # noqa: F401
+from .registry import (BACKBONE, DATASETS, HEADS, NET, PCENCODER,  # noqa: F401
+                       build_backbone, build_dataset, build_from_cfg,
+                       build_heads, build_net, build_pcencoder)
+
+# Importing model/data modules populates the registries (mirrors the
+# reference package-__init__ registration side effects,
+# `baseline/models/heads/__init__.py:1-4` etc.).
+from .models import column_head, nets, resnet_fpn, vit  # noqa: F401,E402
+from .models.nets import build_model  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,175 @@
+"""Training losses, as pure functions over the raw-output / batch dicts.
+
+The reference computes losses inside module methods
+(`/root/reference/baseline/models/heads/polyline_fpn_vit_vertex_2.py:446-600`,
+`pcencoder/postprojector.py:84-109`).  Here they are standalone jit-traceable
+functions so the same model apply can serve train and eval, and so every
+masked "fancy-index then reduce" becomes a static-shape masked reduction
+(XLA cannot trace data-dependent gathers of unknown size).
+
+Every term reproduces the reference's reduction and normalisation exactly,
+including its quirks (e.g. the semantic-seg term is normalised by pixel
+count but NOT by batch, `:572`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.losses import (cross_entropy_with_int_labels, optax_sigmoid_ce,
+                          sigmoid_focal_loss, smooth_l1)
+
+EPS = 1e-12
+
+
+def column_proposal_loss(out: Dict, batch: Dict, hp) -> Dict:
+    """10-term loss of the ColumnProposal2 head (reference `:446-600`).
+
+    ``hp`` carries static scalars: row_size, num_prop, prop_fea_width, ext_w,
+    lambda_cls, mean_loss_w, orient_w, endp_loss_w, offset_w, spatial_att,
+    cls_exp, endp_mode, number_orients.
+    """
+    S = hp["row_size"]
+    P = hp["num_prop"]
+    W = hp["prop_fea_width"]
+    B = out["ext2"].shape[0]
+
+    gt_exist = batch["prop_ext"].astype(jnp.float32)   # [B,P,S] in {0,1,2}
+    gt_coors = batch["prop_coor"].astype(jnp.float32)  # [B,P,S]
+    gt_offset = batch["prop_offset"].astype(jnp.float32)
+    gt_offset_mask = batch["prop_offset_mask"].astype(jnp.float32)
+
+    # vertex validity mangling (reference `:461-465`)
+    invalid = (gt_coors >= W) | (gt_coors < 0.0) | (gt_exist == 0)
+    gt_coors = jnp.where(invalid, -1.0, gt_coors)
+    gt_exist = jnp.where(invalid, 0.0, gt_exist)
+    valid = gt_exist > 0
+    n_valid = jnp.sum(valid)
+
+    # proposal objectness targets (reference `:469-472`)
+    pos = jnp.sum(gt_exist, axis=2) > 2.0  # [B,P]
+    gt_prop = jnp.stack([1.0 - pos.astype(jnp.float32),
+                         pos.astype(jnp.float32)], axis=-1)
+    proposal_loss = jnp.mean(
+        optax_sigmoid_ce(out["proposal_conf"].astype(jnp.float32), gt_prop))
+
+    # per-row existence/semantic CE inside positive proposals (`:531`)
+    ext_ce = cross_entropy_with_int_labels(out["ext2"], gt_exist.astype(jnp.int32))
+    ext_loss = jnp.sum(ext_ce * pos[:, :, None]) * hp["ext_w"] / (P * S * B)
+
+    # column classification + expectation regression (`:535-538`)
+    cls2 = out["cls2"].astype(jnp.float32)
+    vmask = valid.astype(jnp.float32)
+    safe_div = lambda x: jnp.where(n_valid > 0, x / jnp.maximum(n_valid, 1), 0.0)
+    if hp["cls_exp"]:
+        col_idx = jnp.arange(W, dtype=jnp.float32)
+        corr_pred = jnp.sum(col_idx * jax.nn.softmax(cls2, axis=-1), axis=-1)
+        cls_mean_loss = safe_div(
+            jnp.sum(smooth_l1(corr_pred, gt_coors) * vmask)) * hp["mean_loss_w"]
+        cls_ce = cross_entropy_with_int_labels(cls2, gt_coors.astype(jnp.int32))
+        cls_loss = safe_div(jnp.sum(cls_ce * vmask)) * hp["lambda_cls"]
+    else:
+        cls_mean_loss = 0.0
+        cls_loss = safe_div(-jnp.sum(
+            gt_coors * jnp.log(cls2 + EPS) * vmask[..., None].squeeze(-1)))
+
+    # sub-bin offset regression (`:562-563`)
+    offset_loss = safe_div(jnp.sum(smooth_l1(
+        out["offset2"].astype(jnp.float32) * gt_offset_mask,
+        gt_offset * gt_offset_mask))) * hp["offset_w"]
+
+    # orientation CE on labelled pixels (`:491-492,570-571`)
+    lb_orient = batch["lc_orient"].astype(jnp.int32)  # [B,S,S]
+    omask = lb_orient > 0
+    orient_ce = cross_entropy_with_int_labels(out["orient"], lb_orient)
+    n_orient = jnp.sum(omask)
+    orient_loss = jnp.where(
+        n_orient > 0,
+        hp["orient_w"] * jnp.sum(orient_ce * omask) / jnp.maximum(n_orient, 1),
+        0.0)
+
+    # global semantic segmentation (`:495,572` — batch-independent norm)
+    sem_lb = batch["semantic_label_raw"].astype(jnp.int32)  # [B,8S,8S]
+    sem_ce = cross_entropy_with_int_labels(out["semantic_seg"], sem_lb)
+    semantic_loss = jnp.sum(sem_ce) / (S * S * 64)
+
+    # global endpoint heatmap focal (`:498-509,573`)
+    lb_endp = batch["endp_map"].astype(jnp.float32)  # [B,8S,8S]
+    has_endp = (jnp.sum(lb_endp, axis=(1, 2)) > 1.0).astype(jnp.float32)
+    w_endp = jnp.where(lb_endp > EPS, lb_endp * 4.0, 0.5)
+    tgt_endp = (lb_endp > EPS).astype(jnp.float32)
+    endp_logits = (out["endpoint"] if hp["endp_mode"] == "endpoint"
+                   else out["endp_est"])[..., 0].astype(jnp.float32)
+    focal = sigmoid_focal_loss(endp_logits, tgt_endp)
+    endp_loss = hp["endp_loss_w"] * jnp.sum(
+        w_endp * focal * has_endp[:, None, None]) / (S * S * B)
+
+    # per-proposal binary seg focal, positive proposals only (`:523-526,574`)
+    if hp["spatial_att"]:
+        seg_focal = sigmoid_focal_loss(
+            out["prop_bi_seg"].astype(jnp.float32),
+            batch["prop_bi_seg"].astype(jnp.float32))
+        bi_seg_loss = jnp.sum(
+            seg_focal * pos[:, :, None, None]) / (S * S * 8 * B)
+    else:
+        bi_seg_loss = jnp.float32(0.0)
+
+    loss = (proposal_loss + ext_loss + cls_mean_loss + cls_loss + endp_loss +
+            orient_loss + bi_seg_loss + offset_loss + semantic_loss)
+    return {
+        "loss": loss,
+        "loss_stats": {
+            "proposal_loss": proposal_loss,
+            "ext_loss2": ext_loss,
+            "cls_loss2": cls_loss,
+            "cls_mean_loss2": cls_mean_loss,
+            "endp_loss": endp_loss,
+            "orient_loss": orient_loss,
+            "binary_seg_loss": bi_seg_loss,
+            "offset_loss": offset_loss,
+            "semantic_seg_loss": semantic_loss,
+        },
+    }
+
+
+def segmentor_loss(out: Dict, batch: Dict) -> Dict:
+    """Segmentor pretraining loss (reference `postprojector.py:84-109`)."""
+    EPS6 = 1e-6
+    seg_logits = out["semantic_seg"].astype(jnp.float32)  # [B,H,W,3]
+    b, f_h, f_w, _ = seg_logits.shape
+    seg_ce = cross_entropy_with_int_labels(
+        seg_logits, batch["mask"].astype(jnp.int32))
+    seg_loss = jnp.sum(seg_ce) / (b * f_h * f_w)
+
+    lb_endp = batch["endp_map"].astype(jnp.float32)
+    has_endp = (jnp.sum(lb_endp, axis=(1, 2)) > 1.0).astype(jnp.float32)
+    w_endp = jnp.where(lb_endp > EPS6, lb_endp * 10.0, 0.1)
+    tgt = (lb_endp > EPS6).astype(jnp.float32)
+    focal = sigmoid_focal_loss(out["endp_est"][..., 0].astype(jnp.float32), tgt)
+    endp_loss = 50.0 * jnp.sum(w_endp * focal * has_endp[:, None, None]) / (
+        f_h * f_w)
+
+    return {"loss": seg_loss + endp_loss,
+            "loss_stats": {"seg_loss": seg_loss, "endp_loss": endp_loss}}
+
+
+def head_hparams(cfg) -> Dict:
+    """Extract the static loss scalars from a config."""
+    h = cfg.heads
+    return dict(
+        row_size=h.row_size,
+        num_prop=h.num_prop,
+        prop_fea_width=h.prop_width + 2 * h.prop_half_buff,
+        ext_w=h.get("ext_w", 1.0),
+        lambda_cls=h.get("lambda_cls", 1.0),
+        mean_loss_w=h.get("mean_loss_w", 0.0),
+        orient_w=h.get("orient_w", 1.0),
+        endp_loss_w=h.get("endp_loss_w", 1.0),
+        offset_w=h.get("offset_w", 1.0),
+        cls_exp=h.get("cls_exp", True),
+        endp_mode=h.get("endp_mode", "endp_est"),
+        spatial_att=cfg.get("spatial_att", True),
+    )

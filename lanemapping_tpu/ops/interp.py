@@ -1,0 +1,86 @@
+"""Bilinear resize with ``align_corners=True`` semantics, TPU-first.
+
+The reference uses ``F.interpolate(..., mode='bilinear', align_corners=True)``
+everywhere (`/root/reference/baseline/models/pcencoder/postprojector.py:541-542`,
+`heads/polyline_fpn_vit_vertex_2.py:273-274`).  ``jax.image.resize`` has no
+align-corners mode, and gather-based interpolation maps poorly onto the TPU
+VPU.  Instead we express 2-D bilinear resize as two small dense matmuls with
+precomputed 1-D interpolation operators — each output row of the operator has
+at most two non-zeros, but a dense [out,in] x [in,*] product rides the MXU and
+fuses with neighbouring ops under XLA.  Operators are built once per
+(in,out) pair at trace time from NumPy and closed over as constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix_np(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] align-corners linear interpolation operator."""
+    if n_in == n_out:
+        return np.eye(n_in, dtype=np.float32)
+    if n_in == 1:
+        return np.ones((n_out, 1), dtype=np.float32)
+    if n_out == 1:
+        m = np.zeros((1, n_in), dtype=np.float32)
+        m[0, 0] = 1.0
+        return m
+    scale = (n_in - 1) / (n_out - 1)
+    coords = np.arange(n_out, dtype=np.float64) * scale
+    lo = np.floor(coords).astype(np.int64)
+    lo = np.clip(lo, 0, n_in - 2)
+    frac = coords - lo
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    m[np.arange(n_out), lo] = (1.0 - frac).astype(np.float32)
+    m[np.arange(n_out), lo + 1] = frac.astype(np.float32)
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _pool_matrix_np(n_in: int, k: int) -> np.ndarray:
+    """[n_in//k, n_in] average-pooling operator (stride == kernel == k)."""
+    n_out = n_in // k
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    for i in range(n_out):
+        m[i, i * k:(i + 1) * k] = 1.0 / k
+    return m
+
+
+def interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    return jnp.asarray(_interp_matrix_np(n_in, n_out))
+
+
+@functools.lru_cache(maxsize=None)
+def _upsample_then_pool_np(n_in: int, n_up: int, k: int) -> np.ndarray:
+    """Composite operator: align-corners upsample to n_up, then avg-pool by k.
+
+    Fuses the reference's ``avg_pool2d(upsample(x))`` pattern
+    (`heads/polyline_fpn_vit_vertex_2.py:295-296,400-402`) into one
+    [n_up//k, n_in] matrix so the full-resolution intermediate never exists.
+    """
+    return _pool_matrix_np(n_up, k) @ _interp_matrix_np(n_in, n_up)
+
+
+def resize_bilinear_ac(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Align-corners bilinear resize of NHWC (or ...HWC) tensors."""
+    *lead, h, w, c = x.shape
+    mh = jnp.asarray(_interp_matrix_np(h, out_h), dtype=x.dtype)
+    mw = jnp.asarray(_interp_matrix_np(w, out_w), dtype=x.dtype)
+    y = jnp.einsum("oh,...hwc->...owc", mh, x)
+    y = jnp.einsum("pw,...hwc->...hpc", mw, y)
+    return y
+
+
+def upsample_then_avgpool(x: jnp.ndarray, up_h: int, up_w: int, k: int) -> jnp.ndarray:
+    """Equivalent of avg_pool_k(resize_ac(x, up_h, up_w)) without the blowup."""
+    *lead, h, w, c = x.shape
+    mh = jnp.asarray(_upsample_then_pool_np(h, up_h, k), dtype=x.dtype)
+    mw = jnp.asarray(_upsample_then_pool_np(w, up_w, k), dtype=x.dtype)
+    y = jnp.einsum("oh,...hwc->...owc", mh, x)
+    y = jnp.einsum("pw,...hwc->...hpc", mw, y)
+    return y

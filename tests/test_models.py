@@ -1,0 +1,120 @@
+"""Shape/dtype contracts of the model stack on tiny tiles.
+
+The reference has no test suite (SURVEY.md §4); these golden-shape tests
+mirror its implicit contracts: encoder 4-tuple (`postprojector.py:79-82`),
+correlator [B,S,S,8] (`vitsegnet.py:194-214`), head output dict
+(`polyline_fpn_vit_vertex_2.py:430-435`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanemapping_tpu.models.nets import build_model
+from lanemapping_tpu.models.head_losses import (column_proposal_loss,
+                                                head_hparams, segmentor_loss)
+
+
+def _init_and_apply(cfg, batch_size=2, train=False):
+    model = build_model(cfg)
+    img = cfg.list_img_size_xy[0]
+    proj = jnp.zeros((batch_size, img, img, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), proj, train=False)
+    if train:
+        out, _ = model.apply(variables, proj, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+    else:
+        out = model.apply(variables, proj, train=False)
+    return model, variables, out
+
+
+def test_detector_forward_shapes(tiny_cfg):
+    cfg = tiny_cfg
+    S = cfg.heads.row_size
+    P = cfg.heads.num_prop
+    W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff
+    B = 2
+    _, _, out = _init_and_apply(cfg, B, train=False)
+    assert out["proposal_conf"].shape == (B, P, 2)
+    assert out["ext2"].shape == (B, P, S, 3)
+    assert out["cls2"].shape == (B, P, S, W)
+    assert out["offset2"].shape == (B, P, S, W)
+    assert out["orient"].shape == (B, S, S, cfg.number_orients)
+    assert out["semantic_seg"].shape == (B, 8 * S, 8 * S, 3)
+    assert out["endp_est"].shape == (B, 8 * S, 8 * S, 1)
+    assert out["endpoint"].shape == (B, 8 * S, 8 * S, 1)
+    # eval skips the per-proposal upsampled seg maps entirely
+    assert "prop_bi_seg" not in out
+
+
+def test_detector_train_has_prop_seg_and_loss(tiny_cfg):
+    cfg = tiny_cfg
+    S, P = cfg.heads.row_size, cfg.heads.num_prop
+    W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff
+    B = 2
+    _, _, out = _init_and_apply(cfg, B, train=True)
+    assert out["prop_bi_seg"].shape == (B, P, 8 * S, 8 * W)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "prop_ext": jnp.asarray(rng.randint(0, 3, (B, P, S))),
+        "prop_coor": jnp.asarray(rng.uniform(-1, W, (B, P, S)).astype(np.float32)),
+        "prop_offset": jnp.asarray(rng.randn(B, P, S, W).astype(np.float32)),
+        "prop_offset_mask": jnp.asarray(
+            rng.randint(0, 2, (B, P, S, W)).astype(np.float32)),
+        "prop_bi_seg": jnp.asarray(
+            rng.randint(0, 2, (B, P, 8 * S, 8 * W)).astype(np.float32)),
+        "lc_orient": jnp.asarray(rng.randint(0, 11, (B, S, S))),
+        "semantic_label_raw": jnp.asarray(rng.randint(0, 3, (B, 8 * S, 8 * S))),
+        "endp_map": jnp.asarray(
+            rng.uniform(0, 1, (B, 8 * S, 8 * S)).astype(np.float32)),
+    }
+    res = column_proposal_loss(out, batch, head_hparams(cfg))
+    assert np.isfinite(float(res["loss"]))
+    assert set(res["loss_stats"]) == {
+        "proposal_loss", "ext_loss2", "cls_loss2", "cls_mean_loss2",
+        "endp_loss", "orient_loss", "binary_seg_loss", "offset_loss",
+        "semantic_seg_loss"}
+    for k, v in res["loss_stats"].items():
+        assert np.isfinite(float(v)), k
+
+
+def test_segmentor_forward_and_loss(tiny_cfg):
+    import copy
+    cfg = tiny_cfg
+    cfg.net = {"type": "Segmentor", "head_type": "seg", "loss_type": "ce"}
+    B, img = 2, cfg.list_img_size_xy[0]
+    model = build_model(cfg)
+    proj = jnp.zeros((B, img, img, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), proj, train=False)
+    out, _ = model.apply(variables, proj, train=True, mutable=["batch_stats"])
+    assert out["semantic_seg"].shape == (B, img, img, 3)
+    assert out["endp_est"].shape == (B, img, img, 1)
+    rng = np.random.RandomState(0)
+    batch = {
+        "mask": jnp.asarray(rng.randint(0, 3, (B, img, img))),
+        "endp_map": jnp.asarray(rng.uniform(0, 1, (B, img, img)).astype(np.float32)),
+    }
+    res = segmentor_loss(out, batch)
+    assert np.isfinite(float(res["loss"]))
+
+
+def test_vitsegnet_roundtrip_shape():
+    from lanemapping_tpu.models.vit import VitSegNet
+    m = VitSegNet(image_size=24, patch_h_size=8, patch_w_size=8, channels=64,
+                  dim=128, depth=1, heads=4, dim_head=32)
+    x = jnp.zeros((2, 24, 24, 64))
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    assert y.shape == (2, 24, 24, 128 // 64)
+
+
+def test_patchify_inverse():
+    from lanemapping_tpu.models.vit import patchify, unpatchify
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 16, 4).astype(np.float32))
+    t = patchify(x, 8)
+    y = unpatchify(t, 2, 2, 8)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))

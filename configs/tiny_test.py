@@ -14,3 +14,4 @@ total_iter = 4
 scheduler = dict(T_max=4)
 workers = 0
 compute_dtype = "float32"
+mesh_shape = dict(data=2)

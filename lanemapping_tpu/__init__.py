@@ -12,7 +12,8 @@ from .registry import (BACKBONE, DATASETS, HEADS, NET, PCENCODER,  # noqa: F401
 # Importing model/data modules populates the registries (mirrors the
 # reference package-__init__ registration side effects,
 # `baseline/models/heads/__init__.py:1-4` etc.).
-from .models import column_head, nets, resnet_fpn, vit  # noqa: F401,E402
+from .models import column_head, nets, resnet_fpn, row_head, vit  # noqa: F401,E402
+from .data import laserlane  # noqa: F401,E402
 from .models.nets import build_model  # noqa: F401
 
 __version__ = "0.1.0"

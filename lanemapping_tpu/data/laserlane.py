@@ -1,0 +1,175 @@
+"""WHU-Lane BEV tile datasets.
+
+Parity with `/root/reference/baseline/datasets/laserlane.py:31-246` (basic
+seg dataset) and `laserlane_proposals.py:36-264` (column-proposal dataset).
+Pure NumPy pipeline — samples are dicts of numpy arrays in NHWC, batched by
+`loader.py` and shipped to device by the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import random
+from typing import Dict, List
+
+import numpy as np
+
+from ..registry import DATASETS
+from .proposal_gt import build_proposal_gt
+
+LABEL_SUBDIRS = ("seq", "semantic", "instance", "orient", "endp")
+
+
+def load_split(data_root: str, data_split_file: str, mode: str) -> List[str]:
+    """Tile stems for a split (reference `laserlane_proposals.py:498-518`)."""
+    with open(osp.join(data_root, data_split_file)) as f:
+        split = json.load(f)
+    if mode == "single":
+        return list(split["single"])
+    if mode in ("valid", "val"):
+        return list(split["valid"])[:150]
+    if mode == "test":
+        stems = list(split["test"])
+        random.shuffle(stems)
+        return stems
+    if mode in ("all", "infer_only"):
+        return list(split["pretrain"])
+    return list(split["train"])
+
+
+def _png(path: str) -> np.ndarray:
+    from PIL import Image
+    return np.array(Image.open(path))
+
+
+def load_tile_paths(data_root: str, stem: str) -> Dict[str, str]:
+    lbl = osp.join(data_root, "labels")
+    return {
+        "image": osp.join(data_root, "cropped_tiff", stem + ".png"),
+        "seq": osp.join(lbl, "sparse_seq", stem + ".json"),
+        "semantic": osp.join(lbl, "sparse_semantic", stem + ".png"),
+        "instance": osp.join(lbl, "sparse_instance", stem + ".png"),
+        "orient": osp.join(lbl, "sparse_orient", stem + ".png"),
+        "endp": osp.join(lbl, "sparse_endp", stem + ".png"),
+    }
+
+
+def load_seq_json(path: str, n_lanes: int):
+    """Padded endpoint/semantic arrays from the sparse-seq sidecar
+    (reference `laserlane_proposals.py:107,130-140`)."""
+    with open(path) as f:
+        recs = json.load(f)
+    initp = np.zeros((n_lanes, 2), np.float64)
+    endp = np.zeros((n_lanes, 2), np.float64)
+    semantic = np.zeros((n_lanes,), np.float64)
+    for i, rec in enumerate(recs[:n_lanes]):
+        initp[i] = rec["init_vertex"]
+        endp[i] = rec["end_vertex"]
+        semantic[i] = rec["semantic"]
+    return initp, endp, semantic
+
+
+def _remap_semantic(mask: np.ndarray) -> np.ndarray:
+    """PNG values 128->1 (solid), 255->2 (dashed); reference `:592-594`."""
+    out = mask.copy()
+    out[mask == 128] = 1
+    out[mask == 255] = 2
+    return out
+
+
+@DATASETS.register_module(name="LaserLane")
+class LaserLane:
+    """Segmentation-pretrain dataset (reference `laserlane.py`)."""
+
+    def __init__(self, data_root: str, data_split_file: str =
+                 "data_split-shuffle.json", mode: str = "train", cfg=None):
+        self.cfg = cfg
+        self.data_root = data_root
+        self.mode = mode
+        self.stems = load_split(data_root, data_split_file, mode)
+
+    def __len__(self):
+        return len(self.stems)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        stem = self.stems[idx]
+        p = load_tile_paths(self.data_root, stem)
+        img = _png(p["image"])
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        img = img[..., :3].astype(np.float32) / 255.0
+        mask = _remap_semantic(_png(p["semantic"]))
+        inst = _png(p["instance"])
+        mask = np.where(inst == 0, 0, mask)
+        endp = _png(p["endp"]).astype(np.float32) / 255.0
+        n_lanes = self.cfg.number_lanes if self.cfg else 12
+        ds = self.cfg.get("gt_downsample_ratio", 8) if self.cfg else 8
+        # 8x max-pool downsampled instance map with the reference remap
+        # (`laserlane.py:91-97,234`): ids>n -> bg, bg 0 -> 255, ids shift -1
+        h, w = inst.shape
+        inst_ds = inst[:h - h % ds, :w - w % ds].reshape(
+            h // ds, ds, w // ds, ds).max(axis=(1, 3)).astype(np.int64)
+        inst_ds = np.where(inst_ds > n_lanes, 0, inst_ds)
+        label = np.where(inst_ds == 0, 255, inst_ds - 1)
+        return {
+            "image_name": stem[:11],
+            "proj": img,  # [H,W,3] NHWC
+            "mask": mask.astype(np.uint8),
+            "endp_map": endp,
+            "label": label.astype(np.int32),
+        }
+
+
+@DATASETS.register_module(name="LaserLaneProposal")
+class LaserLaneProposal:
+    """Column-proposal dataset (reference `laserlane_proposals.py:36-264`)."""
+
+    def __init__(self, data_root: str, data_split_file: str =
+                 "data_split-shuffle.json", mode: str = "train", cfg=None):
+        assert cfg is not None, "LaserLaneProposal needs the global cfg"
+        self.cfg = cfg
+        self.data_root = data_root
+        self.mode = mode
+        self.stems = load_split(data_root, data_split_file, mode)
+
+    def __len__(self):
+        return len(self.stems)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        stem = self.stems[idx]
+        p = load_tile_paths(self.data_root, stem)
+
+        img = _png(p["image"])
+        if img.ndim == 2:
+            img = np.stack([img] * 3, -1)
+        img = img[..., :3].astype(np.float32) / 255.0
+
+        mask = _remap_semantic(_png(p["semantic"]))
+        inst_raw = _png(p["instance"]).astype(np.int64)
+        ori = _png(p["orient"]).astype(np.int64)
+        endp_map = _png(p["endp"]).astype(np.float32) / 255.0
+        initp, endp, semantic = load_seq_json(p["seq"], cfg.number_lanes)
+
+        # label refinement (reference `:114-120`): drop ids > n_lanes, zero
+        # orient/semantic off-lane, then background 0 -> 255, ids shift -1
+        inst_raw = np.where(inst_raw > cfg.number_lanes, 0, inst_raw)
+        ori = np.where(inst_raw == 0, 0, ori)
+        mask = np.where(inst_raw == 0, 0, mask)
+        inst = np.where(inst_raw == 0, 255, inst_raw - 1)
+
+        sample = {"image_name": stem[:11], "proj": img,
+                  "label_raw": inst.astype(np.int32)}
+        sample.update(build_proposal_gt(
+            inst, mask, ori, endp_map, initp, endp, semantic,
+            n_cls=cfg.number_lanes, row_size=cfg.heads.row_size,
+            ds=cfg.gt_downsample_ratio, num_prop=cfg.heads.num_prop,
+            prop_width=cfg.heads.prop_width,
+            half_buff=cfg.heads.prop_half_buff))
+        if self.mode != "train":
+            sample["initp"] = initp.astype(np.float32)
+            sample["endp"] = endp.astype(np.float32)
+            sample["mask"] = mask.astype(np.uint8)
+        return sample

@@ -1,0 +1,116 @@
+"""Batched, prefetching data loader.
+
+Replaces the reference's torch DataLoader + sampler stack
+(`/root/reference/baseline/datasets/registry.py:24-62`): numpy samples are
+assembled into batches on a thread pool and prefetched ahead of the device
+step, so host-side GT construction overlaps TPU compute.  Under a data
+mesh each process feeds the full logical batch (single-host) — pjit shards it.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in samples[0]:
+        v0 = samples[0][k]
+        if isinstance(v0, str):
+            out[k] = [s[k] for s in samples]
+        else:
+            out[k] = np.stack([s[k] for s in samples], axis=0)
+    return out
+
+
+class Loader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0,
+                 num_threads: int = 4, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        batches = []
+        for i in range(0, n, self.batch_size):
+            b = idx[i:i + self.batch_size]
+            if len(b) < self.batch_size and self.drop_last:
+                continue
+            batches.append(b)
+        return batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._index_batches()
+        self.epoch += 1
+        if self.num_threads == 1:
+            for b in batches:
+                yield collate([self.dataset[int(i)] for i in b])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_threads) as ex:
+                    for b in batches:
+                        if stop.is_set():
+                            break
+                        samples = list(ex.map(
+                            lambda i: self.dataset[int(i)], b))
+                        q.put(collate(samples))
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def build_dataloader(split_cfg, cfg, is_train: bool = True) -> Loader:
+    """Factory mirroring the reference `build_dataloader`
+    (`datasets/registry.py:33-62`)."""
+    from ..registry import build_dataset
+
+    ds = build_dataset(split_cfg, cfg)
+    return Loader(
+        ds,
+        batch_size=cfg.batch_size,
+        shuffle=is_train,
+        drop_last=is_train,
+        seed=cfg.get("seed", 0),
+        num_threads=min(8, max(1, cfg.get("workers", 4))),
+    )

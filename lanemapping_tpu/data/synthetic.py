@@ -1,0 +1,111 @@
+"""Synthetic WHU-Lane-format tiles for tests, dry-runs and benchmarking.
+
+The WHU-Lane dataset is not vendored with the reference repo; this module
+fabricates statistically similar tiles — a dark BEV intensity image with a
+handful of bright, mostly-vertical lane polylines — and writes them in the
+exact directory layout the datasets expect
+(`/root/reference/baseline/datasets/laserlane_proposals.py:40-52`):
+
+    root/cropped_tiff/<stem>.png
+    root/labels/sparse_{seq,semantic,instance,orient,endp}/<stem>.*
+    root/data_split-shuffle.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List
+
+import numpy as np
+
+from .label_gen import (NpEncoder, render_labels, select_and_order_lanes,
+                        seq_sidecar, rasterize_polyline)
+
+
+def random_lane_seqs(rng: np.random.RandomState, img: int = 1152,
+                     n_lanes: int = 5) -> List[np.ndarray]:
+    """Smooth near-vertical polylines spanning most of the tile height."""
+    seqs = []
+    base_cols = np.sort(rng.uniform(0.15 * img, 0.85 * img, n_lanes))
+    for c0 in base_cols:
+        top = rng.uniform(0.02 * img, 0.15 * img)
+        bot = rng.uniform(0.85 * img, 0.98 * img)
+        n_v = rng.randint(8, 16)
+        rows = np.linspace(top, bot, n_v)
+        drift = rng.uniform(-0.1, 0.1) * img
+        wiggle = rng.uniform(0.0, 0.02) * img
+        cols = (c0 + drift * (rows - top) / (bot - top)
+                + wiggle * np.sin(rows / img * np.pi * rng.uniform(1, 3)))
+        cols = np.clip(cols, 2, img - 3)
+        seqs.append(np.stack([rows, cols], axis=1))
+    return seqs
+
+
+def render_intensity_image(seqs, img: int = 1152,
+                           rng: np.random.RandomState = None) -> np.ndarray:
+    """Grayscale-ish BEV intensity PNG: noisy ground + bright lane marks."""
+    rng = rng or np.random.RandomState(0)
+    ground = rng.normal(60, 15, (img, img)).clip(0, 255)
+    marks = np.zeros((img, img), dtype=np.float64)
+    for s in seqs:
+        for d in (-1, 0, 1):  # ~3 px wide marks
+            shifted = s.copy()
+            shifted[:, 1] = np.clip(shifted[:, 1] + d, 0, img - 1)
+            rasterize_polyline(marks, shifted, 1.0)
+    intensity = np.where(marks > 0, rng.normal(220, 15, (img, img)), ground)
+    intensity = intensity.clip(0, 255).astype(np.uint8)
+    return np.stack([intensity] * 3, axis=-1)  # 3-channel like cropped_tiff
+
+
+def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
+                     n_lanes_range=(3, 7), seed: int = 0,
+                     splits=None) -> List[str]:
+    """Write ``n_tiles`` synthetic tiles + labels + split file under ``root``."""
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "cropped_tiff")
+    lbl_root = os.path.join(root, "labels")
+    dirs = {k: os.path.join(lbl_root, f"sparse_{k}")
+            for k in ("seq", "semantic", "instance", "orient", "endp")}
+    os.makedirs(img_dir, exist_ok=True)
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    stems = []
+    for i in range(n_tiles):
+        stem = f"{190000 + i:06d}_{i:04d}"
+        stems.append(stem)
+        n_lanes = rng.randint(*n_lanes_range)
+        seqs = random_lane_seqs(rng, img, n_lanes)
+        semantics = [int(rng.randint(1, 3)) for _ in seqs]
+        seqs, semantics, orients = select_and_order_lanes(
+            seqs, semantics, top_k=20, col_range=(0, img))
+        maps = render_labels(seqs, semantics, orients, img, img)
+        Image.fromarray(render_intensity_image(seqs, img, rng)).save(
+            os.path.join(img_dir, stem + ".png"))
+        Image.fromarray(maps["semantic"]).save(
+            os.path.join(dirs["semantic"], stem + ".png"))
+        Image.fromarray(maps["instance"]).save(
+            os.path.join(dirs["instance"], stem + ".png"))
+        Image.fromarray(maps["orient"]).save(
+            os.path.join(dirs["orient"], stem + ".png"))
+        Image.fromarray(maps["endp"].astype(np.uint8)).save(
+            os.path.join(dirs["endp"], stem + ".png"))
+        with open(os.path.join(dirs["seq"], stem + ".json"), "w") as f:
+            json.dump(seq_sidecar(seqs, semantics, orients), f, cls=NpEncoder)
+
+    if splits is None:
+        n_tr = max(1, int(0.6 * n_tiles))
+        n_va = max(1, (n_tiles - n_tr) // 2)
+        splits = {
+            "train": stems[:n_tr],
+            "valid": stems[n_tr:n_tr + n_va],
+            "test": stems[n_tr + n_va:] or stems[-1:],
+            "single": stems[:1],
+            "pretrain": stems,
+        }
+    with open(os.path.join(root, "data_split-shuffle.json"), "w") as f:
+        json.dump(splits, f)
+    return stems

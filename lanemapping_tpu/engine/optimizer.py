@@ -1,0 +1,47 @@
+"""Optimizer / LR-schedule factories on optax.
+
+Parity with `/root/reference/baseline/engine/optimizer.py:9-18` (torch.optim
+by name) and `scheduler.py:10-18` (CosineAnnealingLR / LambdaLR), plus the
+SGD linear-warmup behaviour (`runner.py:110-113`).
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def build_schedule(cfg):
+    base_lr = cfg.optimizer.lr
+    sch = cfg.get("scheduler", None)
+    if sch is None:
+        return base_lr
+    if sch.type == "CosineAnnealingLR":
+        # torch: lr_t = eta_min + (lr - eta_min) * (1 + cos(pi*t/T_max)) / 2
+        return optax.cosine_decay_schedule(
+            init_value=base_lr, decay_steps=max(1, sch.T_max),
+            alpha=sch.get("eta_min", 0.0) / base_lr if base_lr else 0.0)
+    if sch.type == "LambdaLR":
+        # reference uses lambda epoch: 0.95**epoch style decay
+        gamma = sch.get("gamma", 0.95)
+        steps_per_epoch = sch.get("steps_per_epoch", 1)
+        return lambda step: base_lr * gamma ** (step // steps_per_epoch)
+    raise KeyError(f"unknown scheduler {sch.type}")
+
+
+def build_optimizer(cfg) -> optax.GradientTransformation:
+    schedule = build_schedule(cfg)
+    opt_type = cfg.optimizer.type
+    if opt_type == "Adam":
+        tx = optax.adam(schedule)
+    elif opt_type == "AdamW":
+        tx = optax.adamw(schedule,
+                         weight_decay=cfg.optimizer.get("weight_decay", 1e-2))
+    elif opt_type == "SGD":
+        # linear warmup over 5000 steps (reference pytorch_warmup usage)
+        warm = optax.linear_schedule(0.0, 1.0, 5000)
+        base = schedule if callable(schedule) else (lambda s: schedule)
+        tx = optax.sgd(lambda s: base(s) * warm(s),
+                       momentum=cfg.optimizer.get("momentum", 0.9))
+    else:
+        raise KeyError(f"unknown optimizer {opt_type}")
+    return tx

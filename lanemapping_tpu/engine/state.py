@@ -1,0 +1,76 @@
+"""Train state pytree + step functions."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+def create_train_state(model, tx: optax.GradientTransformation, rng,
+                       example_proj) -> TrainState:
+    variables = model.init(rng, example_proj, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, tx, loss_fn: Callable[[Dict, Dict], Dict]):
+    """Build the jittable training step.
+
+    ``loss_fn(out, batch) -> {'loss', 'loss_stats'}``.  Includes the
+    reference's NaN guard (`runner.py:178`): a non-finite loss skips the
+    parameter update instead of poisoning the weights.
+    """
+
+    def step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
+        def inner(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, updates = model.apply(
+                variables, batch["proj"], train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            res = loss_fn(out, batch)
+            return res["loss"], (res["loss_stats"],
+                                 updates.get("batch_stats", {}))
+
+        (loss, (stats, new_bs)), grads = jax.value_and_grad(
+            inner, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        ok = jnp.isfinite(loss)
+        sel = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new, old)
+        new_state = TrainState(
+            params=sel(new_params, state.params),
+            batch_stats=sel(new_bs, state.batch_stats) if new_bs else
+            state.batch_stats,
+            opt_state=sel(new_opt, state.opt_state),
+            step=state.step + 1,
+        )
+        stats = dict(stats)
+        stats["loss"] = loss
+        stats["skipped_nan"] = (~ok).astype(jnp.float32)
+        return new_state, stats
+
+    return step
+
+
+def make_eval_step(model):
+    def step(state: TrainState, proj):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, proj, train=False)
+
+    return step

@@ -25,11 +25,18 @@ class Detector1stage(nn.Module):
     @nn.compact
     def __call__(self, proj, train: bool = False,
                  need_prop_seg: Optional[bool] = None):
+        from .row_head import GridSeg, RowSharNotReducRef
+
         fea, fea_up, bi_seg, endp_est = self.pcencoder(proj, train)
         if self.vit_seg and self.backbone is not None:
             fea = self.backbone(fea, train)
-        out = self.heads(fea, fea_up, endp_est, train=train,
-                         need_prop_seg=need_prop_seg)
+        if isinstance(self.heads, (RowSharNotReducRef, GridSeg)):
+            # KLane-style heads consume the correlator features only
+            # (reference `detector1stage.py:46-47`)
+            out = self.heads(fea, train=train)
+        else:
+            out = self.heads(fea, fea_up, endp_est, train=train,
+                             need_prop_seg=need_prop_seg)
         out["semantic_seg"] = bi_seg
         out["endp_est"] = endp_est
         return out

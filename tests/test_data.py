@@ -1,0 +1,185 @@
+"""Data-layer parity tests.
+
+The vectorised proposal-GT builder is checked against a naive loop that
+transcribes the reference semantics
+(`laserlane_proposals.py:163-252,414-494`) literally.
+"""
+
+import numpy as np
+import pytest
+
+from lanemapping_tpu.data.label_gen import orientation_classes
+from lanemapping_tpu.data.proposal_gt import (assign_proposals,
+                                              build_proposal_gt,
+                                              lane_line_maps)
+
+
+def naive_line_maps(inst, n_cls, S, ds, ori_raw, semantic):
+    """Literal transcription of the reference per-lane loop (test oracle)."""
+    H = inst.shape[0]
+    coor_raw = np.zeros((n_cls, H))
+    coor = np.zeros((n_cls, S))
+    ext = np.zeros((n_cls, S))
+    orient = np.zeros((S, S))
+    col_index = np.arange(S, dtype=np.float64)
+    offset = np.tile(col_index, (n_cls, S, 1)).astype(np.float64)
+    offset_mask = np.zeros((n_cls, S, S))
+    for c in range(n_cls):
+        rows, cols = np.where(inst == c)
+        coor_raw[c, rows] = cols / ds  # duplicate rows: last (max col) wins
+        coor[c, :] = coor_raw[c, 3::ds]
+        offset[c] = np.transpose(np.tile(coor[c], (S, 1))) - offset[c]
+        if (coor[c] == 0).any():
+            coor[c, np.where(coor[c] == 0.0)[0]] = -1.0
+        if (coor[c] > 0).any():
+            ext[c, np.where(coor[c] > 0.0)[0]] = semantic[c]
+        if ori_raw is not None:
+            down_row = np.where(coor[c] > 0.0)[0]
+            if len(down_row) < 2:
+                continue
+            down_col = coor[c, down_row].astype(np.int64)
+            lefts = np.maximum(down_col - 3, 0)
+            rights = np.minimum(down_col + 3, S - 1)
+            up_row = down_row * ds + 3
+            up_col = (coor[c, down_row] * ds).astype(np.int64)
+            for i in range(len(down_row)):
+                orient[down_row[i], lefts[i]:rights[i]] = ori_raw[
+                    up_row[i], up_col[i]]
+    offset_mask[np.where(np.abs(offset) < 3.0)] = 1.0
+    offset_mask[:, :, :3] = 0.0
+    return ext, coor, offset, offset_mask, orient
+
+
+def naive_assign(coor, P, pw, hb):
+    """Literal transcription of the proposal-distance loop (`:166-208`)."""
+    S = coor.shape[1]
+    n_cls = coor.shape[0]
+    col0 = pw * np.arange(P, dtype=np.float32)
+    dist = np.tile(col0[:, None, None], (1, S, n_cls)).astype(np.float64)
+    valid = np.ones_like(dist)
+    prop_cls = np.tile(coor, (P, 1, 1))  # [P, L, S]
+    for p in range(P):
+        lo = pw * p - hb
+        hi = pw * p + hb + pw
+        bad = np.where((prop_cls[p] < lo) | (prop_cls[p] > hi))
+        prop_cls[p][bad] = -1
+    prop_cls = prop_cls.transpose(0, 2, 1)  # [P, S, L]
+    inval = np.where(prop_cls < 0)
+    dist -= prop_cls
+    dist[inval] = 0.0
+    valid[inval] = 0.0
+    dist = np.abs(dist).sum(axis=1)
+    cnt = valid.sum(axis=1)
+    cnt[np.where(cnt < 1)] = 1
+    dist = dist / cnt
+    dist[np.where(dist == 0.0)] = 143.0
+    return np.argmin(dist, axis=-1)
+
+
+def _random_tile(seed, H=192, n_cls=4, ds=8):
+    """Synthetic instance/orient maps with a few diagonal lanes."""
+    rng = np.random.RandomState(seed)
+    inst = np.full((H, H), 255, np.int64)
+    ori = np.zeros((H, H), np.int64)
+    init_pts = np.zeros((n_cls, 2))
+    term_pts = np.zeros((n_cls, 2))
+    semantic = np.zeros((n_cls,))
+    for c in range(rng.randint(1, n_cls + 1)):
+        c0 = rng.randint(10, H - 30)
+        drift = rng.uniform(-0.2, 0.2)
+        rows = np.arange(rng.randint(0, 40), H - rng.randint(0, 40))
+        cols = np.clip((c0 + drift * (rows - rows[0])).astype(np.int64),
+                       0, H - 1)
+        inst[rows, cols] = c
+        ori[rows, cols] = rng.randint(1, 11)
+        init_pts[c] = (rows[0], cols[0])
+        term_pts[c] = (rows[-1], cols[-1])
+        semantic[c] = rng.randint(1, 3)
+    return inst, ori, init_pts, term_pts, semantic
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_line_maps_match_reference_semantics(seed):
+    H, n_cls, ds = 192, 4, 8
+    S = H // ds
+    inst, ori, _, _, semantic = _random_tile(seed, H, n_cls, ds)
+    got = lane_line_maps(inst, n_cls, S, ds, ori, semantic)
+    want = naive_line_maps(inst, n_cls, S, ds, ori, semantic)
+    for g, w, name in zip(got, want,
+                          ["ext", "coor", "offset", "offset_mask", "orient"]):
+        np.testing.assert_allclose(np.asarray(g, np.float64),
+                                   np.asarray(w, np.float64), err_msg=name)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_assignment_matches_reference_semantics(seed):
+    H, n_cls, ds = 192, 4, 8
+    S = H // ds
+    inst, ori, _, _, semantic = _random_tile(seed, H, n_cls, ds)
+    _, coor, _, _, _ = lane_line_maps(inst, n_cls, S, ds, ori, semantic)
+    P, pw, hb = S // 2, 2, 4
+    np.testing.assert_array_equal(assign_proposals(coor, P, pw, hb),
+                                  naive_assign(coor, P, pw, hb))
+
+
+def test_build_proposal_gt_shapes_and_ranges():
+    H, n_cls, ds = 192, 4, 8
+    S = H // ds
+    P, pw, hb = S // 2, 2, 4
+    W = pw + 2 * hb
+    inst, ori, init_pts, term_pts, semantic = _random_tile(7, H, n_cls, ds)
+    mask = (inst != 255).astype(np.uint8)
+    endp = np.zeros((H, H), np.float32)
+    gt = build_proposal_gt(inst, mask, ori, endp, init_pts, term_pts,
+                           semantic, n_cls=n_cls, row_size=S, ds=ds,
+                           num_prop=P, prop_width=pw, half_buff=hb)
+    assert gt["prop_ext"].shape == (P, S)
+    assert gt["prop_coor"].shape == (P, S)
+    assert gt["prop_offset"].shape == (P, S, W)
+    assert gt["prop_offset_mask"].shape == (P, S, W)
+    assert gt["prop_bi_seg"].shape == (P, H, W * ds)
+    assert gt["lc_orient"].shape == (S, S)
+    assert gt["lc_coor_raw"].shape == (n_cls, S)
+    assert set(np.unique(gt["prop_bi_seg"])) <= {0, 1}
+    assert gt["prop_ext"].max() <= 2
+
+
+def test_orientation_binning():
+    # vertical segment -> class 5; strong right drift -> 10; left -> 0
+    seq_v = np.array([[0.0, 0.0], [10.0, 0.0]])
+    assert orientation_classes(seq_v)[0] == 5
+    seq_r = np.array([[0.0, 0.0], [1.0, 50.0]])
+    assert orientation_classes(seq_r)[0] == 10
+    seq_l = np.array([[0.0, 50.0], [1.0, 0.0]])
+    assert orientation_classes(seq_l)[0] == 0
+
+
+def test_synthetic_dataset_end_to_end(tmp_path, tiny_cfg):
+    from lanemapping_tpu.data.synthetic import generate_dataset
+    from lanemapping_tpu.data.laserlane import LaserLaneProposal, LaserLane
+    from lanemapping_tpu.data.loader import Loader, collate
+
+    cfg = tiny_cfg
+    img = cfg.list_img_size_xy[0]
+    generate_dataset(str(tmp_path), n_tiles=4, img=img, seed=1)
+
+    ds = LaserLaneProposal(str(tmp_path), mode="train", cfg=cfg)
+    assert len(ds) >= 1
+    s = ds[0]
+    S, P = cfg.heads.row_size, cfg.heads.num_prop
+    W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff
+    assert s["proj"].shape == (img, img, 3)
+    assert s["prop_ext"].shape == (P, S)
+    assert s["prop_bi_seg"].shape == (P, img, W * 8)
+    assert s["endp_map"].shape == (img, img)
+    # at least one proposal should carry an actual lane
+    assert (s["prop_ext"] > 0).any()
+
+    seg = LaserLane(str(tmp_path), mode="train", cfg=cfg)
+    b = collate([seg[0], seg[1 % len(seg)]])
+    assert b["proj"].shape == (2, img, img, 3)
+    assert b["mask"].shape == (2, img, img)
+
+    loader = Loader(ds, batch_size=2, shuffle=True, drop_last=True)
+    batch = next(iter(loader))
+    assert batch["prop_coor"].shape == (2, P, S)

@@ -1,0 +1,158 @@
+"""Decode + postprocessing + metrics parity tests."""
+
+import numpy as np
+import pytest
+
+
+def test_window_expectation_matches_reference_loop():
+    import jax.numpy as jnp
+    from lanemapping_tpu.decode.lane_decode import window_expectation
+
+    rng = np.random.RandomState(0)
+    W = 10
+    probs = rng.dirichlet(np.ones(W), size=(3, 5, 7)).astype(np.float32)
+
+    got = np.asarray(window_expectation(jnp.asarray(probs)))
+
+    # naive transcription of the reference loop (`:717-726`)
+    def softmax(x):
+        e = np.exp(x - x.max())
+        return e / e.sum()
+
+    want = np.zeros(probs.shape[:-1])
+    flat = probs.reshape(-1, W)
+    for i, p in enumerate(flat):
+        idx = int(np.argmax(p))
+        window = np.arange(max(0, idx - 2), min(W - 1, idx + 3))
+        want.reshape(-1)[i] = float(
+            (softmax(p[window]) * window.astype(np.float64)).sum())
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_cluster_peaks_matches_dbscan():
+    import jax.numpy as jnp
+    from sklearn.cluster import DBSCAN
+    from lanemapping_tpu.decode.lane_decode import cluster_peaks
+
+    rng = np.random.RandomState(1)
+    # 3 well-separated blobs + noise points
+    blobs = [rng.normal(c, 3.0, size=(20, 2))
+             for c in [(100, 100), (400, 300), (800, 900)]]
+    pts = np.concatenate(blobs + [rng.uniform(0, 1100, (4, 2))], axis=0)
+    scores = rng.uniform(0.5, 1.0, len(pts)).astype(np.float32)
+
+    reps, valid, n = cluster_peaks(jnp.asarray(pts, jnp.float32),
+                                   jnp.asarray(scores), radius=20.0)
+    n = int(n)
+    db = DBSCAN(eps=20.0, min_samples=1).fit(pts)
+    assert n == len(set(db.labels_))
+    # representative = member nearest to cluster centroid (reference method)
+    reps = np.asarray(reps)[np.asarray(valid)]
+    for lbl in set(db.labels_):
+        members = pts[db.labels_ == lbl]
+        cent = members.mean(0)
+        expect = members[np.argmin(((members - cent) ** 2).sum(1))]
+        assert any(np.allclose(r, expect, atol=1e-3) for r in reps)
+
+
+def test_decode_lanes_shapes(tiny_cfg):
+    import jax
+    import jax.numpy as jnp
+    from lanemapping_tpu.decode.lane_decode import decode_lanes
+
+    cfg = tiny_cfg
+    S, P = cfg.heads.row_size, cfg.heads.num_prop
+    W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff
+    B, img = 2, cfg.list_img_size_xy[0]
+    rng = np.random.RandomState(0)
+    out = {
+        "proposal_conf": jnp.asarray(rng.randn(B, P, 2), jnp.float32),
+        "ext2": jnp.asarray(rng.randn(B, P, S, 3), jnp.float32),
+        "cls2": jnp.asarray(rng.randn(B, P, S, W), jnp.float32),
+        "offset2": jnp.asarray(rng.randn(B, P, S, W), jnp.float32),
+        "orient": jnp.asarray(rng.randn(B, S, S, 11), jnp.float32),
+        "semantic_seg": jnp.asarray(rng.randn(B, img, img, 3), jnp.float32),
+        "endp_est": jnp.asarray(rng.randn(B, img, img, 1), jnp.float32),
+    }
+    dec = jax.jit(lambda o: decode_lanes(o, cfg))(out)
+    assert dec["cls_offset"].shape == (B, P, S)
+    assert dec["prop_v_ext"].shape == (B, P, S)
+    assert dec["semantic_seg"].shape == (B, img, img)
+    assert dec["endp_coords"].shape[0] == B
+    # coordinates live in feature scale [-half_buff, S + half_buff]
+    assert float(jnp.max(dec["cls_offset"])) <= S + W
+    # after adding the proposal base, values stay finite
+    assert bool(jnp.all(jnp.isfinite(dec["cls_offset"])))
+
+
+def test_smooth_lanes_recovers_clean_lines():
+    from lanemapping_tpu.decode.postprocess import smooth_lanes
+
+    S = 144
+    P = 72
+    coors = np.full((P, S), -1.0)
+    # two clean vertical lines at columns 300 and 700 spread across proposals
+    for r in range(10, 130):
+        coors[20, r] = 300.0 + 0.2 * r
+        coors[50, r] = 700.0
+    orient = np.full((S, S), 5, dtype=np.int64)
+    smooth = smooth_lanes(coors, orient, seg_conf=None)
+    n_lines = int(np.sum([np.count_nonzero(l > 0) > 2 for l in smooth]))
+    assert n_lines == 2
+    lens = sorted(np.count_nonzero(l > 0) for l in smooth if
+                  np.count_nonzero(l > 0) > 2)
+    assert lens[0] >= 118 and lens[1] >= 118
+
+
+def test_polyline_nms_suppresses_duplicates():
+    from lanemapping_tpu.decode.postprocess import polyline_nms
+
+    S = 144
+    lines = np.full((6, S), -1.0)
+    for r in range(10, 130):
+        lines[0, r] = 400.0
+        lines[1, r] = 402.0  # near-duplicate of line 0
+        lines[2, r] = 800.0  # distinct line survives
+    sem_map = np.ones((1152, 1152))
+    out = polyline_nms(lines.copy(), sem_map)
+    alive = [i for i in range(6) if np.count_nonzero(out[i] > 0) >= 2]
+    assert len(alive) == 2
+
+
+def test_coor_measures_perfect_and_miss():
+    from lanemapping_tpu.utils.metrics import cal_coor_measures
+
+    S = 144
+    gt = np.full((4, S), -1.0)
+    gt[0, 10:100] = 500.0
+    m = cal_coor_measures(gt, gt.copy(), buffer_px=10)
+    assert m["f1"] > 0.99
+    pred = gt.copy()
+    pred[0, 10:100] = 530.0  # outside the 10 px buffer
+    m2 = cal_coor_measures(gt, pred, buffer_px=10)
+    assert m2["f1"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_endp_metric():
+    from lanemapping_tpu.utils.metrics import eval_metric_endp_detector
+
+    gt = np.zeros((200, 200))
+    gt[50, 50] = 1.0
+    gt[150, 150] = 1.0
+    m = eval_metric_endp_detector(np.array([[52, 51], [149, 148]]), gt,
+                                  r_thre=20)
+    assert m["f1"] == pytest.approx(1.0)
+    m0 = eval_metric_endp_detector(np.zeros((0, 2)), gt, r_thre=20)
+    assert m0["f1"] == 0.0
+
+
+def test_skeletonize_thin_line():
+    from lanemapping_tpu.utils.skeleton import skeletonize
+
+    img = np.zeros((64, 64), np.uint8)
+    img[10:50, 20:25] = 1  # 5-px wide bar
+    sk = skeletonize(img)
+    assert sk.sum() > 0
+    # every skeleton row inside the bar is ~1 px wide
+    widths = sk[12:48].sum(axis=1)
+    assert widths.max() <= 2

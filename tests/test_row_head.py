@@ -1,0 +1,47 @@
+"""KLane-baseline head tests (RowSharNotReducRef, GridSeg)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_row_shar_forward_and_loss():
+    from lanemapping_tpu.models.row_head import (RowSharNotReducRef,
+                                                 row_shar_loss)
+
+    S, N, F = 24, 4, 8
+    m = RowSharNotReducRef(dim_feat=F, row_size=S, dim_shared=32, n_lanes=N,
+                           dim_token=64, tr_heads=4, tr_dim_head=16,
+                           tr_mlp_dim=128)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, S, S, F), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert out["ext"].shape == (2, N, S, 2)
+    assert out["cls"].shape == (2, N, S, S)
+    assert out["ext2"].shape == (2, N, S, 2)
+    # probabilities sum to one
+    np.testing.assert_allclose(np.asarray(out["cls2"].sum(-1)), 1.0,
+                               rtol=1e-5)
+
+    label = np.full((2, S, S), 255, np.int64)
+    label[:, 5:20, 10] = 1  # one lane
+    res = row_shar_loss(out, {"label": jnp.asarray(label)}, n_lanes=N,
+                        row_size=S)
+    assert np.isfinite(float(res["loss"]))
+    assert set(res["loss_stats"]) == {"ext_loss", "cls_loss", "ext_loss2",
+                                      "cls_loss2"}
+
+
+def test_grid_seg_forward_and_loss():
+    from lanemapping_tpu.models.row_head import GridSeg, grid_seg_loss
+
+    m = GridSeg(num_1=8, num_2=16, num_classes=5)
+    x = jnp.zeros((2, 144, 144, 8))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out["conf"].shape == (2, 144, 144)
+    assert out["cls"].shape == (2, 144, 144, 5)
+    label = np.zeros((2, 144, 144), np.int64)
+    label[:, 10:100, 50] = 2
+    res = grid_seg_loss(out, {"label": jnp.asarray(label)}, num_classes=5)
+    assert np.isfinite(float(res["loss"]))

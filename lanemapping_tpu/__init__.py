@@ -12,7 +12,8 @@ from .registry import (BACKBONE, DATASETS, HEADS, NET, PCENCODER,  # noqa: F401
 # Importing model/data modules populates the registries (mirrors the
 # reference package-__init__ registration side effects,
 # `baseline/models/heads/__init__.py:1-4` etc.).
-from .models import column_head, nets, resnet_fpn, row_head, vit  # noqa: F401,E402
+from .models import (column_head, legacy, lidar_encoder, nets,  # noqa: F401,E402
+                     resnet_fpn, row_head, vit)
 from .data import laserlane  # noqa: F401,E402
 from .models.nets import build_model  # noqa: F401
 

@@ -44,8 +44,9 @@ def _png(path: str) -> np.ndarray:
     return np.array(Image.open(path))
 
 
-def load_tile_paths(data_root: str, stem: str) -> Dict[str, str]:
-    lbl = osp.join(data_root, "labels")
+def load_tile_paths(data_root: str, stem: str,
+                    label_subdir: str = "labels") -> Dict[str, str]:
+    lbl = osp.join(data_root, label_subdir)
     return {
         "image": osp.join(data_root, "cropped_tiff", stem + ".png"),
         "seq": osp.join(lbl, "sparse_seq", stem + ".json"),
@@ -69,6 +70,24 @@ def load_seq_json(path: str, n_lanes: int):
         endp[i] = rec["end_vertex"]
         semantic[i] = rec["semantic"]
     return initp, endp, semantic
+
+
+def color_jitter(img: np.ndarray, rng: np.random.RandomState,
+                 brightness: float = 0.5, contrast: float = 0.5,
+                 saturation: float = 0.5) -> np.ndarray:
+    """Training-time colour augmentation + 0.5/0.5 normalisation
+    (reference `laserlane_proposals.py:255-264`): torchvision ColorJitter
+    semantics — multiplicative factors drawn from [1-x, 1+x]."""
+    b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+    c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+    s = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+    out = img * b
+    mean = out.mean(axis=(0, 1), keepdims=True).mean()
+    out = (out - mean) * c + mean
+    gray = out.mean(axis=-1, keepdims=True)
+    out = (out - gray) * s + gray
+    out = np.clip(out, 0.0, 1.0)
+    return (out - 0.5) / 0.5
 
 
 def _remap_semantic(mask: np.ndarray) -> np.ndarray:
@@ -95,7 +114,8 @@ class LaserLane:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         stem = self.stems[idx]
-        p = load_tile_paths(self.data_root, stem)
+        p = load_tile_paths(self.data_root, stem,
+                            getattr(self, 'label_subdir', 'labels'))
         img = _png(p["image"])
         if img.ndim == 2:
             img = np.stack([img] * 3, -1)
@@ -140,12 +160,16 @@ class LaserLaneProposal:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         stem = self.stems[idx]
-        p = load_tile_paths(self.data_root, stem)
+        p = load_tile_paths(self.data_root, stem,
+                            getattr(self, 'label_subdir', 'labels'))
 
         img = _png(p["image"])
         if img.ndim == 2:
             img = np.stack([img] * 3, -1)
         img = img[..., :3].astype(np.float32) / 255.0
+        if cfg.get("dataset_color_augment", False) and self.mode == "train":
+            img = color_jitter(img, np.random.RandomState(
+                np.random.randint(1 << 31)))
 
         mask = _remap_semantic(_png(p["semantic"]))
         inst_raw = _png(p["instance"]).astype(np.int64)
@@ -172,4 +196,42 @@ class LaserLaneProposal:
             sample["initp"] = initp.astype(np.float32)
             sample["endp"] = endp.astype(np.float32)
             sample["mask"] = mask.astype(np.uint8)
+        return sample
+
+
+@DATASETS.register_module(name="LaserLaneProposalEgo")
+class LaserLaneProposalEgo(LaserLaneProposal):
+    """Raw-point variant: per-tile .las/.npy clouds + the same proposal GT
+    (reference `laserlane_proposals_ego.py`, whose labels live under
+    ``labels_inside_lidar_range``).  Points come back as a padded static
+    [max_points, 4] buffer + mask instead of ragged mmdet3d structures.
+    """
+
+    LABEL_DIR = "labels_inside_lidar_range"
+
+    def __init__(self, data_root, data_split_file="data_split-shuffle.json",
+                 mode="train", max_points=1 << 19, cfg=None):
+        super().__init__(data_root, data_split_file, mode, cfg)
+        self.max_points = max_points
+        lbl = osp.join(data_root, self.LABEL_DIR)
+        self.label_subdir = self.LABEL_DIR if osp.isdir(lbl) else "labels"
+        las_dir = osp.join(data_root, "las")
+        self.point_dir = las_dir if osp.isdir(las_dir) else osp.join(
+            data_root, "points")
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        from .las import load_lidar_points, pad_points
+
+        sample = super().__getitem__(idx)
+        stem = self.stems[idx]
+        for ext in (".las", ".npy"):
+            p = osp.join(self.point_dir, stem + ext)
+            if osp.isfile(p):
+                pts, mask = pad_points(load_lidar_points(p), self.max_points)
+                sample["points"] = pts
+                sample["points_mask"] = mask
+                break
+        else:
+            raise FileNotFoundError(
+                f"no point file for {stem} under {self.point_dir}")
         return sample

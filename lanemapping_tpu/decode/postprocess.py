@@ -444,6 +444,31 @@ def render_semantic_map(ply: np.ndarray, img: int = 1152) -> np.ndarray:
 # map assembly (reference `get_lane_map_numpy_with_label:761-886`)
 # --------------------------------------------------------------------------
 
+def _smooth_dispatch(coors, orient, seg_conf, img):
+    """Prefer the native C++ tracker (lanemapping_tpu/native), falling back
+    to the NumPy implementation when the library isn't built."""
+    try:
+        from ..native import smooth_lanes_native
+        out = smooth_lanes_native(coors, orient, seg_conf, True, img)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return smooth_lanes(coors, orient, seg_conf=seg_conf,
+                        complete_inner_nodes=True)
+
+
+def _nms_dispatch(lines, sem_map, img):
+    try:
+        from ..native import polyline_nms_native
+        out = polyline_nms_native(lines, sem_map, img)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return polyline_nms(lines, sem_map)
+
+
 def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
     """Host assembly of final lane maps from the on-device decode dict."""
     row_size = cfg.heads.row_size
@@ -474,9 +499,8 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
 
         seg_conf = np.array(dec["bi_seg"][b], dtype=np.float64)
         orient = np.array(dec["orient"][b], dtype=np.int64)
-        smooth = smooth_lanes(coors, orient, seg_conf=seg_conf,
-                              complete_inner_nodes=True)
-        smooth = polyline_nms(smooth, seg_conf)
+        smooth = _smooth_dispatch(coors, orient, seg_conf, img)
+        smooth = _nms_dispatch(smooth, seg_conf, img)
 
         endp_map = np.zeros((img, img))
         coords = np.array(dec["endp_coords"][b])

@@ -33,7 +33,8 @@ from .state import TrainState, create_train_state, make_eval_step, \
 
 TRAIN_BATCH_KEYS = ("proj", "prop_ext", "prop_coor", "prop_offset",
                     "prop_offset_mask", "prop_bi_seg", "lc_orient",
-                    "semantic_label_raw", "endp_map", "mask")
+                    "semantic_label_raw", "endp_map", "mask", "label",
+                    "points", "points_mask")
 
 
 class Runner:
@@ -58,8 +59,22 @@ class Runner:
         # replicate across the mesh; batches are sharded on the data axis
         self.state = jax.device_put(state, replicated(self.mesh))
 
+        head_type = cfg.heads.type if "heads" in cfg else None
         if cfg.net.type == "Segmentor":
             self._loss_fn = segmentor_loss
+        elif head_type == "RowSharNotReducRef":
+            from ..models.row_head import row_shar_loss
+            n_lanes, row_size = cfg.number_lanes, cfg.heads.row_size
+            lam = cfg.heads.get("lambda_cls", 1.0)
+            self._loss_fn = lambda out, batch: row_shar_loss(
+                out, batch, n_lanes=n_lanes, row_size=row_size,
+                lambda_cls=lam)
+        elif head_type == "GridSeg":
+            from ..models.row_head import grid_seg_loss
+            n_classes = cfg.heads.num_classes
+            ds_type = cfg.get("dataset_type", "LaserLane")
+            self._loss_fn = lambda out, batch: grid_seg_loss(
+                out, batch, num_classes=n_classes, dataset_type=ds_type)
         else:
             hp = head_hparams(cfg)
             self._loss_fn = lambda out, batch: column_proposal_loss(

@@ -64,6 +64,7 @@ def column_proposal_loss(out: Dict, batch: Dict, hp) -> Dict:
     cls2 = out["cls2"].astype(jnp.float32)
     vmask = valid.astype(jnp.float32)
     safe_div = lambda x: jnp.where(n_valid > 0, x / jnp.maximum(n_valid, 1), 0.0)
+    cls_smooth_loss = jnp.float32(0.0)
     if hp["cls_exp"]:
         col_idx = jnp.arange(W, dtype=jnp.float32)
         corr_pred = jnp.sum(col_idx * jax.nn.softmax(cls2, axis=-1), axis=-1)
@@ -71,6 +72,35 @@ def column_proposal_loss(out: Dict, batch: Dict, hp) -> Dict:
             jnp.sum(smooth_l1(corr_pred, gt_coors) * vmask)) * hp["mean_loss_w"]
         cls_ce = cross_entropy_with_int_labels(cls2, gt_coors.astype(jnp.int32))
         cls_loss = safe_div(jnp.sum(cls_ce * vmask)) * hp["lambda_cls"]
+
+        if hp.get("cls_smooth", False):
+            # orientation-consistency smoothness (reference `:540-555`):
+            # successive-row coordinate deltas should match the local
+            # orientation expectation; the reference's b x P double loop is a
+            # batched window gather here.
+            S = hp["row_size"]
+            o_idx = jnp.arange(hp["number_orients"], dtype=jnp.float32)
+            orient_exp = jnp.sum(
+                o_idx * jax.nn.softmax(out["orient"].astype(jnp.float32), -1),
+                axis=-1)  # [B,S,S]
+            delta_orient = (orient_exp - 5.0) * 0.5
+            pw = hp.get("prop_width", 2)
+            pad = (W - pw) // 2  # == prop_half_buff
+            delta_pad = jnp.pad(delta_orient, ((0, 0), (0, 0), (pad, pad)))
+            # window per proposal: columns [pw*p, pw*p + W)
+            P_ = out["cls2"].shape[1]
+            win = pw * jnp.arange(P_)[:, None] + jnp.arange(W)[None, :]
+            # [B,P,S,W] local orientation deltas
+            local = jnp.transpose(delta_pad[:, :, win], (0, 2, 1, 3))
+            rowsel = jnp.clip(corr_pred.astype(jnp.int32), 0, W - 1)
+            delta_roi = jnp.take_along_axis(local, rowsel[..., None],
+                                            axis=-1)[..., 0]
+            delta_pred = jnp.concatenate(
+                [jnp.zeros_like(corr_pred[:, :, :1]),
+                 corr_pred[:, :, 1:] - corr_pred[:, :, :-1]], axis=2)
+            cls_smooth_loss = safe_div(jnp.sum(
+                smooth_l1(delta_pred, delta_roi) * vmask)) * \
+                hp.get("cls_smooth_loss_w", 0.0)
     else:
         cls_mean_loss = 0.0
         cls_loss = safe_div(-jnp.sum(
@@ -117,8 +147,9 @@ def column_proposal_loss(out: Dict, batch: Dict, hp) -> Dict:
     else:
         bi_seg_loss = jnp.float32(0.0)
 
-    loss = (proposal_loss + ext_loss + cls_mean_loss + cls_loss + endp_loss +
-            orient_loss + bi_seg_loss + offset_loss + semantic_loss)
+    loss = (proposal_loss + ext_loss + cls_mean_loss + cls_loss +
+            cls_smooth_loss + endp_loss + orient_loss + bi_seg_loss +
+            offset_loss + semantic_loss)
     return {
         "loss": loss,
         "loss_stats": {
@@ -126,6 +157,7 @@ def column_proposal_loss(out: Dict, batch: Dict, hp) -> Dict:
             "ext_loss2": ext_loss,
             "cls_loss2": cls_loss,
             "cls_mean_loss2": cls_mean_loss,
+            "cls_smooth_loss2": cls_smooth_loss,
             "endp_loss": endp_loss,
             "orient_loss": orient_loss,
             "binary_seg_loss": bi_seg_loss,
@@ -172,4 +204,8 @@ def head_hparams(cfg) -> Dict:
         cls_exp=h.get("cls_exp", True),
         endp_mode=h.get("endp_mode", "endp_est"),
         spatial_att=cfg.get("spatial_att", True),
+        cls_smooth=cfg.get("cls_smooth", False),
+        cls_smooth_loss_w=h.get("cls_smooth_loss_w", 0.0),
+        prop_width=h.prop_width,
+        number_orients=cfg.get("number_orients", 11),
     )

@@ -25,9 +25,15 @@ class Detector1stage(nn.Module):
     @nn.compact
     def __call__(self, proj, train: bool = False,
                  need_prop_seg: Optional[bool] = None):
+        from .lidar_encoder import LidarEncoder
         from .row_head import GridSeg, RowSharNotReducRef
 
-        fea, fea_up, bi_seg, endp_est = self.pcencoder(proj, train)
+        if isinstance(self.pcencoder, LidarEncoder):
+            # raw-point path: `proj` is {"points": [B,N,4], "mask": [B,N]}
+            fea, fea_up, bi_seg, endp_est = self.pcencoder(
+                proj["points"], train, mask=proj.get("points_mask"))
+        else:
+            fea, fea_up, bi_seg, endp_est = self.pcencoder(proj, train)
         if self.vit_seg and self.backbone is not None:
             fea = self.backbone(fea, train)
         if isinstance(self.heads, (RowSharNotReducRef, GridSeg)):

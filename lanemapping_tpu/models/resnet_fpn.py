@@ -174,7 +174,8 @@ class FPNEncoder(nn.Module):
         # --- shared-weight semantic pyramids (postprojector.py:604-653) ----
         half = width // 2
         h, w = p2.shape[1], p2.shape[2]
-        gn = lambda ch, name: nn.GroupNorm(num_groups=ch, name=name)
+        gn = lambda ch, name: nn.GroupNorm(num_groups=ch, epsilon=1e-5,
+                                           name=name)  # torch GN eps
         sem1 = conv3x3(half, "semantic_branch")
         sem2 = conv3x3(half, "semantic_branch2")
         conv2 = conv3x3(width, "conv2")

@@ -1,0 +1,74 @@
+"""Multi-host process utilities.
+
+TPU-native replacement for the reference's NCCL plumbing
+(`/root/reference/baseline/utils/dist_utils.py:30-195`,
+`engine/runner.py:44-55`): ``jax.distributed.initialize`` handles rendezvous,
+GSPMD inserts the collectives, and what remains is process-rank gating for
+logging/checkpointing plus a couple of host-data gather helpers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, List, Optional
+
+import jax
+import numpy as np
+
+
+def maybe_initialize_distributed(coordinator: Optional[str] = None,
+                                 num_processes: Optional[int] = None,
+                                 process_id: Optional[int] = None) -> None:
+    """Multi-host init (DCN).  A no-op single-process unless the standard
+    env (COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID) or args are set."""
+    coordinator = coordinator or os.environ.get("COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=int(num_processes or os.environ["NUM_PROCESSES"]),
+        process_id=int(process_id or os.environ["PROCESS_ID"]))
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def dist_print(*args, **kwargs) -> None:
+    """Rank-0-gated print (reference `dist_utils.py:38-41`)."""
+    if is_main_process():
+        print(*args, **kwargs)
+
+
+def synchronize() -> None:
+    """Cross-process barrier (reference `dist_utils.py:43-55`): a tiny psum
+    over all devices, blocked on."""
+    if jax.process_count() == 1:
+        return
+    x = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(
+        np.ones((jax.local_device_count(),)))
+    np.asarray(x)  # host readback forces completion
+
+
+def all_gather_host(value: Any) -> List[Any]:
+    """Gather arbitrary picklable host data from all processes
+    (reference `dist_utils.py:112-152`)."""
+    if jax.process_count() == 1:
+        return [value]
+    from jax.experimental import multihost_utils
+
+    return list(multihost_utils.process_allgather(value))
+
+
+def all_reduce_mean_host(x: np.ndarray) -> np.ndarray:
+    """Mean over processes of a host array (reference `dist_utils.py:94-109`)."""
+    gathered = all_gather_host(np.asarray(x))
+    return np.mean(np.stack(gathered), axis=0)

@@ -1,0 +1,215 @@
+"""PyTorch checkpoint -> JAX parameter porter.
+
+Maps the reference's released checkpoints (``{net, optim, scheduler, epoch}``
+saved by `/root/reference/baseline/utils/net_utils.py:10-21`) onto this
+framework's parameter tree so released weights run here for parity checks
+(BASELINE.json: sub-pixel polyline match).
+
+Layout rules: torch Conv2d [O,I,kh,kw] -> flax [kh,kw,I,O]; Conv1d(k=1)
+[O,I,1] -> Dense [I,O]; Linear [O,I] -> Dense [I,O]; BatchNorm/GroupNorm/
+LayerNorm weight/bias -> scale/bias (+ running stats into batch_stats).
+The name map below covers Detector1stage = FPNWrapper (postprojector.py:417+)
++ VitSegNet (vitsegnet.py:132+) + ColumnProposal2
+(polyline_fpn_vit_vertex_2.py:65+); dead branches of the reference head
+(reg_ffn, to_token, tr_lane_correlator, line_expand, per-proposal emb_i —
+only live under the off-by-default column_att flag) are skipped.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _conv(w):  # torch conv2d -> NHWC HWIO
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense(w):  # torch linear [O,I] -> [I,O]
+    return np.transpose(w, (1, 0))
+
+
+def _conv1d_dense(w):  # torch conv1d k=1 [O,I,1] -> [I,O]
+    return np.transpose(w[:, :, 0], (1, 0))
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("net", ckpt.get("state_dict", ckpt))
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("module.", "", 1) if k.startswith("module.") else k
+        out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _resnet_block_rules(t_prefix: str, j_prefix: str, n_blocks: int):
+    rules = []
+    for i in range(n_blocks):
+        t = f"{t_prefix}.{i}"
+        j = f"{j_prefix}/block{i}"
+        rules += [
+            (f"{t}.conv1.weight", f"{j}/conv1/kernel", _conv),
+            (f"{t}.conv2.weight", f"{j}/conv2/kernel", _conv),
+            (f"{t}.bn1", f"{j}/bn1", "bn"),
+            (f"{t}.bn2", f"{j}/bn2", "bn"),
+            (f"{t}.downsample.0.weight", f"{j}/downsample_conv/kernel", _conv),
+            (f"{t}.downsample.1", f"{j}/downsample_bn", "bn"),
+        ]
+    return rules
+
+
+def build_rules(resnet_layers=(3, 4, 6), vit_depth=3) -> list:
+    """(torch_key, jax_path, transform) triples for the flagship model."""
+    R = []
+    # --- FPN encoder -------------------------------------------------------
+    enc = "pcencoder"
+    fpn = "pcencoder.fpn"
+    R += [(f"{fpn}.conv1.weight", f"{enc}/conv1/kernel", _conv),
+          (f"{fpn}.bn1", f"{enc}/bn1", "bn"),
+          (f"{fpn}.out.weight", f"{enc}/out_conv/kernel", _conv)]
+    for li, nb in enumerate(resnet_layers, start=1):
+        R += _resnet_block_rules(f"{fpn}.layer{li}", f"{enc}/layer{li}", nb)
+    for name in ("toplayer", "smooth1", "smooth2", "smooth3", "latlayer1",
+                 "latlayer2", "semantic_branch", "semantic_branch2", "conv2",
+                 "conv3", "feature_layer", "output_layer_binary_seg",
+                 "output_layer_endp"):
+        R += [(f"{fpn}.{name}.weight", f"{enc}/{name}/kernel", _conv),
+              (f"{fpn}.{name}.bias", f"{enc}/{name}/bias", None)]
+    for gn in ("gn11", "gn12", "gn21", "gn22"):
+        R += [(f"{fpn}.{gn}.weight", f"{enc}/{gn}/scale", None),
+              (f"{fpn}.{gn}.bias", f"{enc}/{gn}/bias", None)]
+
+    # --- ViT correlator ----------------------------------------------------
+    bb = "backbone"
+    R += [(f"{bb}.to_patch_embedding.1.weight",
+           f"{bb}/patch_embed/kernel", _dense),
+          (f"{bb}.to_patch_embedding.1.bias",
+           f"{bb}/patch_embed/bias", None),
+          (f"{bb}.pos_embedding", f"{bb}/pos_embedding", None)]
+    for d in range(vit_depth):
+        t = f"{bb}.transformer.layers.{d}"
+        j = f"{bb}/transformer/block{d}"
+        R += [
+            (f"{t}.0.norm.weight", f"{j}/norm1/scale", None),
+            (f"{t}.0.norm.bias", f"{j}/norm1/bias", None),
+            (f"{t}.0.fn.to_qkv.weight", f"{j}/attn/to_qkv/kernel", _dense),
+            (f"{t}.0.fn.to_out.0.weight", f"{j}/attn/to_out/kernel", _dense),
+            (f"{t}.0.fn.to_out.0.bias", f"{j}/attn/to_out/bias", None),
+            (f"{t}.1.norm.weight", f"{j}/norm2/scale", None),
+            (f"{t}.1.norm.bias", f"{j}/norm2/bias", None),
+            (f"{t}.1.fn.net.0.weight", f"{j}/mlp/fc1/kernel", _dense),
+            (f"{t}.1.fn.net.0.bias", f"{j}/mlp/fc1/bias", None),
+            (f"{t}.1.fn.net.3.weight", f"{j}/mlp/fc2/kernel", _dense),
+            (f"{t}.1.fn.net.3.bias", f"{j}/mlp/fc2/bias", None),
+        ]
+
+    # --- column-proposal head ---------------------------------------------
+    hd = "heads"
+    seq = [
+        # torch Sequential index -> (jax module, kind)
+        ("endpoint.0", "endpoint_conv1", "conv"),
+        ("endpoint.2", "endpoint_bn", "bn"),
+        ("endpoint.3", "endpoint_conv2", "conv"),
+        ("head_common_layers.0", "common_conv1", "conv"),
+        ("head_common_layers.1", "common_bn1", "bn"),
+        ("head_common_layers.2", "common_conv2", "conv"),
+        ("head_common_layers.3", "common_bn2", "bn"),
+        ("orient.0", "orient_conv1", "conv"),
+        ("orient.1", "orient_bn", "bn"),
+        ("orient.2", "orient_conv2", "conv"),
+        ("bi_seg_proposal", "bi_seg_proposal", "conv"),
+    ]
+    for t_name, j_name, kind in seq:
+        if kind == "conv":
+            R += [(f"{hd}.{t_name}.weight", f"{hd}/{j_name}/kernel", _conv),
+                  (f"{hd}.{t_name}.bias", f"{hd}/{j_name}/bias", None)]
+        else:
+            R += [(f"{hd}.{t_name}", f"{hd}/{j_name}", "bn")]
+    R += [(f"{hd}.proposal_confidence.1.weight",
+           f"{hd}/proposal_confidence/kernel", _dense),
+          (f"{hd}.proposal_confidence.1.bias",
+           f"{hd}/proposal_confidence/bias", None)]
+    for head in ("ext2", "cls2", "offset2"):
+        R += [(f"{hd}.{head}.0.weight", f"{hd}/{head}_fc1/kernel",
+               _conv1d_dense),
+              (f"{hd}.{head}.0.bias", f"{hd}/{head}_fc1/bias", None),
+              (f"{hd}.{head}.1", f"{hd}/{head}_bn", "bn"),
+              (f"{hd}.{head}.2.weight", f"{hd}/{head}_fc2/kernel",
+               _conv1d_dense),
+              (f"{hd}.{head}.2.bias", f"{hd}/{head}_fc2/bias", None)]
+    return R
+
+
+def _set(tree: Dict, path: str, value: np.ndarray, strict_shape=True):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        if p not in node:
+            return False
+        node = node[p]
+    leaf = parts[-1]
+    if leaf not in node:
+        return False
+    old = node[leaf]
+    if strict_shape and np.shape(old) != np.shape(value):
+        raise ValueError(f"{path}: shape {np.shape(value)} != expected "
+                         f"{np.shape(old)}")
+    node[leaf] = np.asarray(value, dtype=np.asarray(old).dtype)
+    return True
+
+
+def port_state_dict(sd: Dict[str, np.ndarray], params: Dict,
+                    batch_stats: Dict, rules=None) -> Tuple[Dict, Dict, Dict]:
+    """Apply the name map; returns (params, batch_stats, report)."""
+    import jax
+
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+    rules = rules or build_rules()
+    used = set()
+    missing, ported = [], []
+    for t_key, j_path, tf in rules:
+        if tf == "bn":
+            ok = True
+            pairs = [(f"{t_key}.weight", f"{j_path}/scale", params),
+                     (f"{t_key}.bias", f"{j_path}/bias", params),
+                     (f"{t_key}.running_mean", f"{j_path}/mean", batch_stats),
+                     (f"{t_key}.running_var", f"{j_path}/var", batch_stats)]
+            for tk, jp, tree in pairs:
+                if tk in sd:
+                    if _set(tree, jp, sd[tk]):
+                        used.add(tk)
+                    else:
+                        ok = False
+            if not ok:
+                missing.append(j_path)
+            else:
+                ported.append(j_path)
+            continue
+        if t_key not in sd:
+            continue  # optional branches (no layer4, etc.)
+        v = sd[t_key] if tf is None else tf(sd[t_key])
+        if _set(params, j_path, v):
+            used.add(t_key)
+            ported.append(j_path)
+        else:
+            missing.append(j_path)
+    skipped_torch = [k for k in sd
+                     if k not in used and "num_batches_tracked" not in k]
+    report = {"ported": ported, "missing_jax": missing,
+              "unused_torch": skipped_torch}
+    return params, batch_stats, report
+
+
+def port_checkpoint(torch_ckpt_path: str, state, rules=None):
+    """Load a reference ``.pth`` and return a new TrainState with its
+    weights (reference load path `runner.py:399-401`)."""
+    sd = load_torch_state_dict(torch_ckpt_path)
+    params, bs, report = port_state_dict(
+        sd, state.params, state.batch_stats, rules)
+    return state.replace(params=params, batch_stats=bs), report

@@ -1,0 +1,126 @@
+"""Visualization overlays: lanes/semantics/endpoints/segmentation on BEV.
+
+Parity with `/root/reference/baseline/utils/vis_utils.py:20-120` (cv2
+overlays, HSL color ramps).  Colors follow the lane-id palette from the
+shipped configs (`configs/Proj_polyline_fpn_vit_vertex_2.py:102-115`).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+SOLID_COLOR = (255, 0, 0)
+DASHED_COLOR = (0, 0, 255)
+
+CLS_LANE_COLORS = [
+    (0, 0, 255), (0, 255, 0), (255, 0, 0), (0, 255, 255), (255, 0, 255),
+    (255, 255, 0), (42, 42, 128), (158, 168, 3), (240, 32, 160),
+    (84, 46, 8), (255, 97, 0), (100, 255, 0),
+]
+
+
+def _cv2():
+    import cv2
+    return cv2
+
+
+def to_gray_rgb(proj: np.ndarray) -> np.ndarray:
+    """[H,W,3] float BEV tile -> uint8-range grayscale RGB canvas
+    (reference `polyline_fpn_vit_vertex_2.py:956-959`)."""
+    g = proj.mean(axis=-1, keepdims=True)
+    return np.repeat(g, 3, axis=-1) * 255.0
+
+
+def draw_seg_points(canvas: np.ndarray, coords: np.ndarray,
+                    semantic_id: Optional[int] = None) -> np.ndarray:
+    color = {1: SOLID_COLOR, 2: DASHED_COLOR}.get(semantic_id,
+                                                  (255, 255, 255))
+    coords = np.asarray(coords)
+    if coords.size:
+        canvas[coords[:, 0].astype(int), coords[:, 1].astype(int)] = color
+    return canvas
+
+
+def draw_lane(canvas: np.ndarray, lane_coors: np.ndarray, lane_id: int = 0,
+              color=None, thickness: int = 2) -> np.ndarray:
+    """Polyline overlay; lane_coors [V,2] (row, col)."""
+    cv2 = _cv2()
+    if color is None:
+        color = CLS_LANE_COLORS[lane_id % len(CLS_LANE_COLORS)]
+    pts = np.asarray(lane_coors)
+    for a, b in zip(pts[:-1], pts[1:]):
+        cv2.line(canvas, (int(a[1]), int(a[0])), (int(b[1]), int(b[0])),
+                 color=color, thickness=thickness)
+    return canvas
+
+
+def draw_semantic_lane(canvas: np.ndarray, lane_coors: np.ndarray,
+                       semantic_id: int, thickness: int = 2) -> np.ndarray:
+    """Semantic-coloured overlay; segments with a row jump > 40 px are
+    skipped (reference `:63-64`)."""
+    cv2 = _cv2()
+    color = SOLID_COLOR if semantic_id == 1 else (
+        DASHED_COLOR if semantic_id == 2 else (255, 255, 255))
+    pts = np.asarray(lane_coors)
+    for a, b in zip(pts[:-1], pts[1:]):
+        if abs(a[0] - b[0]) > 40:
+            continue
+        cv2.line(canvas, (int(a[1]), int(a[0])), (int(b[1]), int(b[0])),
+                 color=color, thickness=thickness)
+    return canvas
+
+
+def draw_endpoints(canvas: np.ndarray, endp_coors: np.ndarray,
+                   color=(0, 0, 250), radius: int = 7,
+                   filled: bool = False) -> np.ndarray:
+    cv2 = _cv2()
+    for r, c in np.asarray(endp_coors).reshape(-1, 2):
+        cv2.circle(canvas, (int(c), int(r)), radius=radius, color=color,
+                   thickness=cv2.FILLED if filled else 1)
+    return canvas
+
+
+def render_lane_overlays(proj: np.ndarray, ply: np.ndarray,
+                         endp_map: Optional[np.ndarray] = None) -> np.ndarray:
+    """One-call overlay of final decoded polylines + endpoints on a tile."""
+    canvas = to_gray_rgb(proj).astype(np.float32)
+    for li in range(len(ply)):
+        rows = np.nonzero(ply[li, :, 0] > 0)[0]
+        if len(rows) < 2:
+            continue
+        coors = np.stack([rows * 8 + 3, ply[li, rows, 0]], axis=1)
+        draw_lane(canvas, coors, lane_id=li)
+        sem = int(np.round(ply[li, rows, 1].max()))
+        draw_semantic_lane(canvas, coors, sem)
+    if endp_map is not None:
+        draw_endpoints(canvas, np.argwhere(endp_map > 0), filled=True,
+                       radius=5)
+    return canvas.clip(0, 255).astype(np.uint8)
+
+
+# ---- HSL colour ramps (reference `:96-120`) -------------------------------
+
+def rgb2hsl(rgb: Sequence[int]) -> Tuple[float, float, float]:
+    cv2 = _cv2()
+    arr = np.array([[[c / 255 for c in rgb]]], np.float32)
+    h, l, s = cv2.cvtColor(arr, cv2.COLOR_RGB2HLS)[0][0]
+    return h, s, l
+
+
+def hsl2rgb(hsl: Sequence[float]) -> Tuple[int, int, int]:
+    cv2 = _cv2()
+    arr = np.array([[[hsl[0], hsl[2], hsl[1]]]], np.float32)
+    rgb = cv2.cvtColor(arr, cv2.COLOR_HLS2RGB)[0][0]
+    return tuple(int(c * 255) for c in rgb)
+
+
+def color_ramp(begin_rgb, end_rgb, count: int) -> List[Tuple[int, int, int]]:
+    if count < 2:
+        return []
+    a, b = rgb2hsl(begin_rgb), rgb2hsl(end_rgb)
+    step = [(b[i] - a[i]) / (count - 1) for i in range(3)]
+    return [hsl2rgb([a[i] + step[i] * k for i in range(3)])
+            for k in range(count)]

@@ -22,8 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def tiny_cfg():
+    # function-scoped: several tests mutate the config (net type, data roots)
     from lanemapping_tpu.config.config import Config
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return Config.fromfile(os.path.join(repo, "configs", "tiny_test.py"))

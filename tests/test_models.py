@@ -75,10 +75,17 @@ def test_detector_train_has_prop_seg_and_loss(tiny_cfg):
     assert np.isfinite(float(res["loss"]))
     assert set(res["loss_stats"]) == {
         "proposal_loss", "ext_loss2", "cls_loss2", "cls_mean_loss2",
-        "endp_loss", "orient_loss", "binary_seg_loss", "offset_loss",
-        "semantic_seg_loss"}
+        "cls_smooth_loss2", "endp_loss", "orient_loss", "binary_seg_loss",
+        "offset_loss", "semantic_seg_loss"}
     for k, v in res["loss_stats"].items():
         assert np.isfinite(float(v)), k
+
+    # orientation-consistency smoothness term (cls_smooth ablation flag)
+    hp = head_hparams(cfg)
+    hp["cls_smooth"] = True
+    hp["cls_smooth_loss_w"] = 10.0
+    res2 = column_proposal_loss(out, batch, hp)
+    assert np.isfinite(float(res2["loss_stats"]["cls_smooth_loss2"]))
 
 
 def test_segmentor_forward_and_loss(tiny_cfg):

@@ -1,0 +1,65 @@
+"""Native C++ postprocessing vs NumPy reference parity."""
+
+import numpy as np
+import pytest
+
+from lanemapping_tpu.native import (build_library, polyline_nms_native,
+                                    smooth_lanes_native)
+from lanemapping_tpu.decode.postprocess import polyline_nms, smooth_lanes
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    build_library()
+
+
+def _random_decode(seed, P=72, S=144, img=1152, n_lanes=3):
+    rng = np.random.RandomState(seed)
+    coors = np.full((P, S), -1.0)
+    for k in range(n_lanes):
+        p = rng.randint(0, P)
+        base = rng.uniform(100, img - 100)
+        drift = rng.uniform(-0.5, 0.5)
+        r0, r1 = sorted(rng.randint(0, S, 2))
+        if r1 - r0 < 20:
+            r1 = min(S, r0 + 30)
+        for r in range(r0, r1):
+            if rng.rand() > 0.15:  # some dropped vertices
+                coors[p, r] = np.clip(base + drift * (r - r0)
+                                      + rng.randn() * 1.0, 1, img - 2)
+    orient = rng.randint(0, 11, (S, S)).astype(np.int64)
+    seg_conf = rng.rand(img, img)
+    return coors, orient, seg_conf
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_native_smooth_matches_numpy(seed):
+    coors, orient, seg_conf = _random_decode(seed)
+    want = smooth_lanes(coors.copy(), orient, seg_conf=seg_conf,
+                        complete_inner_nodes=True)
+    got = smooth_lanes_native(coors.copy(), orient, seg_conf, True, 1152)
+    assert got is not None
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_nms_matches_numpy(seed):
+    coors, orient, seg_conf = _random_decode(seed, n_lanes=4)
+    smooth = smooth_lanes(coors, orient, seg_conf=seg_conf,
+                          complete_inner_nodes=True)
+    want = polyline_nms(smooth.copy(), seg_conf)
+    got = polyline_nms_native(smooth.copy(), seg_conf, 1152)
+    assert got is not None
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_native_faster_than_numpy():
+    import time
+    coors, orient, seg_conf = _random_decode(7, n_lanes=6)
+    t0 = time.perf_counter()
+    smooth_lanes(coors.copy(), orient, seg_conf=seg_conf)
+    t_np = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    smooth_lanes_native(coors.copy(), orient, seg_conf, True, 1152)
+    t_cc = time.perf_counter() - t0
+    assert t_cc < t_np  # native tracker beats the Python loop

@@ -49,6 +49,7 @@ class ColumnProposalHead(nn.Module):
     prop_half_buff: int = 4
     num_orients: int = 11
     spatial_att: bool = True
+    endp_mode: str = "endp_est"
 
     @property
     def prop_fea_width(self) -> int:
@@ -84,14 +85,23 @@ class ColumnProposalHead(nn.Module):
         col_fea_up = jnp.concatenate(
             [resize_bilinear_ac(x, 2 * S, 2 * S), x_up], axis=-1)  # [B,2S,2S,2F]
 
-        # endpoint branch on the fused features (reference `:371-373`)
+        # endpoint branch on the fused features (reference `:371-373`).
+        # With endp_mode='endp_est' (all shipped configs) neither the loss
+        # (`:504-507`) nor the decode (`:650-653`) ever reads this output and
+        # it receives no gradient — the reference still burns the full-res
+        # resize + convs on it; here the branch only runs when selected.
+        # Parameters always exist so torch checkpoints port either way.
         e_in = jnp.concatenate(
-            [resize_bilinear_ac(col_fea_up, 8 * S, 8 * S), x_endp], axis=-1)
+            [resize_bilinear_ac(col_fea_up, 8 * S, 8 * S), x_endp], axis=-1) \
+            if self.endp_mode == "endpoint" else jnp.zeros(
+                (B, 1, 1, col_fea_up.shape[-1] + 1), col_fea_up.dtype)
         e = nn.relu(e_in)
         e = conv3(F_ // 2, "endpoint_conv1")(e)
         e = nn.relu(e)
         e = norm2d("endpoint_bn")(e)
-        out["endpoint"] = conv3(1, "endpoint_conv2")(e)
+        e = conv3(1, "endpoint_conv2")(e)
+        if self.endp_mode == "endpoint":
+            out["endpoint"] = e
 
         # shared downsampled header features (reference `:183-189,376`)
         r = conv3(2 * F_, "common_conv1")(col_fea_up)
@@ -174,4 +184,5 @@ def build_column_proposal2(cfg=None, dim_feat=8, row_size=144, dim_shared=100,
         prop_half_buff=prop_half_buff,
         num_orients=cfg.number_orients if cfg else 11,
         spatial_att=cfg.get("spatial_att", True) if cfg else True,
+        endp_mode=kw.get("endp_mode", "endp_est"),
     )

@@ -66,9 +66,45 @@ def _upsample_then_pool_np(n_in: int, n_up: int, k: int) -> np.ndarray:
     return _pool_matrix_np(n_up, k) @ _interp_matrix_np(n_in, n_up)
 
 
+@functools.lru_cache(maxsize=None)
+def _interp_gather_np(n_in: int, n_out: int):
+    """(lo_index [n_out], frac [n_out]) for gather+lerp interpolation."""
+    if n_in == 1:
+        return (np.zeros(n_out, np.int32), np.zeros(n_out, np.float32))
+    scale = (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
+    coords = np.arange(n_out, dtype=np.float64) * scale
+    lo = np.clip(np.floor(coords).astype(np.int32), 0, n_in - 2)
+    frac = (coords - lo).astype(np.float32)
+    return lo, frac
+
+
+def _resize_axis_gather(x: jnp.ndarray, axis: int, n_out: int) -> jnp.ndarray:
+    lo, frac = _interp_gather_np(x.shape[axis], n_out)
+    lo = jnp.asarray(lo)
+    frac_shape = [1] * x.ndim
+    frac_shape[axis] = n_out
+    f = jnp.asarray(frac, x.dtype).reshape(frac_shape)
+    a = jnp.take(x, lo, axis=axis)
+    b = jnp.take(x, lo + 1, axis=axis)
+    return a * (1 - f) + b * f
+
+
+# Above this many input rows/cols the dense interpolation matmul wastes MXU
+# work (n_in MACs per output vs bilinear's 2) and gather+lerp wins.
+_GATHER_THRESHOLD = 64
+
+
 def resize_bilinear_ac(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Align-corners bilinear resize of NHWC (or ...HWC) tensors."""
+    """Align-corners bilinear resize of NHWC (or ...HWC) tensors.
+
+    Two implementations with identical results: small maps ride the MXU as
+    dense 1-D operator matmuls (fuses well, negligible FLOPs); large maps use
+    gather+lerp on the VPU, which avoids O(n_in) MACs per output element.
+    """
     *lead, h, w, c = x.shape
+    if max(h, w) > _GATHER_THRESHOLD:
+        y = _resize_axis_gather(x, x.ndim - 3, out_h)
+        return _resize_axis_gather(y, x.ndim - 2, out_w)
     mh = jnp.asarray(_interp_matrix_np(h, out_h), dtype=x.dtype)
     mw = jnp.asarray(_interp_matrix_np(w, out_w), dtype=x.dtype)
     y = jnp.einsum("oh,...hwc->...owc", mh, x)

@@ -44,7 +44,9 @@ def test_detector_forward_shapes(tiny_cfg):
     assert out["orient"].shape == (B, S, S, cfg.number_orients)
     assert out["semantic_seg"].shape == (B, 8 * S, 8 * S, 3)
     assert out["endp_est"].shape == (B, 8 * S, 8 * S, 1)
-    assert out["endpoint"].shape == (B, 8 * S, 8 * S, 1)
+    # endp_mode='endp_est' (all shipped configs): the head's own endpoint
+    # branch is unused by loss and decode, so it is not computed
+    assert "endpoint" not in out
     # eval skips the per-proposal upsampled seg maps entirely
     assert "prop_bi_seg" not in out
 

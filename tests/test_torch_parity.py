@@ -307,8 +307,11 @@ def test_full_model_activation_parity(tiny_cfg):
     with torch.no_grad():
         t_out = tmodel(torch.tensor(x).permute(0, 3, 1, 2))
 
-    # jax side: port the torch weights through the public porter
+    # jax side: port the torch weights through the public porter.
+    # endp_mode='endpoint' forces the head's endpoint branch on so the
+    # parity check covers it too (shipped configs skip it as dead compute).
     cfg = tiny_cfg
+    cfg.heads.endp_mode = "endpoint"
     model = build_model(cfg)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, IMG, IMG, 3)), train=False)

@@ -4,6 +4,19 @@ A from-scratch JAX/XLA/Pallas rebuild with the capabilities of
 WHU-USI3DV/LaneMapping (see /root/repo/SURVEY.md for the component map).
 """
 
+import os as _os
+
+if "JAX_PLATFORMS" in _os.environ:
+    # The axon TPU sitecustomize overrides JAX_PLATFORMS through jax.config
+    # at interpreter start; re-assert the user's env choice (e.g. cpu) here,
+    # before any backend initialises.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from .config.config import Config, ConfigDict  # noqa: F401
 from .registry import (BACKBONE, DATASETS, HEADS, NET, PCENCODER,  # noqa: F401
                        build_backbone, build_dataset, build_from_cfg,
@@ -13,7 +26,7 @@ from .registry import (BACKBONE, DATASETS, HEADS, NET, PCENCODER,  # noqa: F401
 # reference package-__init__ registration side effects,
 # `baseline/models/heads/__init__.py:1-4` etc.).
 from .models import (column_head, legacy, lidar_encoder, nets,  # noqa: F401,E402
-                     resnet_fpn, row_head, vit)
+                     resnet_fpn, resnet_fpn_family, row_head, vit)
 from .data import laserlane  # noqa: F401,E402
 from .models.nets import build_model  # noqa: F401
 

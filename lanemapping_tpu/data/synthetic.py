@@ -58,9 +58,28 @@ def render_intensity_image(seqs, img: int = 1152,
     return np.stack([intensity] * 3, axis=-1)  # 3-channel like cropped_tiff
 
 
+def write_transform_params(path: str, stem: str,
+                           rng: np.random.RandomState) -> None:
+    """Per-tile BEV<->LiDAR transform txt in the reference's line-pair
+    format (`baseline/utils/io_utils.py:125-150`)."""
+    tx, ty = rng.uniform(-50, 50, 2)
+    lines = [
+        "coor_las_path:", f"/data/las/{stem}.las",
+        "las_read_offset:", "100.0 200.0 10.0",
+        "las_rotation_trans_quan:", f"{tx:.3f} {ty:.3f} 0.0 1.0 0.0 0.0 0.0",
+        "bev_img_offset:", "0.0 0.0",
+        "img_reso:", "0.05 0.05",
+        "local_min_ele:", "5.0",
+        "ele_reso:", "0.1",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
 def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
                      n_lanes_range=(3, 7), seed: int = 0,
-                     splits=None) -> List[str]:
+                     splits=None, with_params: bool = False,
+                     with_points: bool = False) -> List[str]:
     """Write ``n_tiles`` synthetic tiles + labels + split file under ``root``."""
     from PIL import Image
 
@@ -95,6 +114,24 @@ def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
             os.path.join(dirs["endp"], stem + ".png"))
         with open(os.path.join(dirs["seq"], stem + ".json"), "w") as f:
             json.dump(seq_sidecar(seqs, semantics, orients), f, cls=NpEncoder)
+        if with_params:
+            pdir = os.path.join(root, "cropped_tiff_param")
+            os.makedirs(pdir, exist_ok=True)
+            write_transform_params(os.path.join(pdir, stem + ".txt"), stem,
+                                   rng)
+        if with_points:
+            from .las import write_las_points
+            pdir = os.path.join(root, "las")
+            os.makedirs(pdir, exist_ok=True)
+            # point cloud roughly consistent with the BEV frame
+            n_pts = 20000
+            pts = np.concatenate([
+                rng.uniform(-14, 14, (n_pts, 1)),
+                rng.uniform(-24, 24, (n_pts, 1)),
+                rng.uniform(-1.5, 1.5, (n_pts, 1)),
+                rng.uniform(900, 30000, (n_pts, 1)),
+            ], axis=1)
+            write_las_points(os.path.join(pdir, stem + ".las"), pts)
 
     if splits is None:
         n_tr = max(1, int(0.6 * n_tiles))

@@ -91,6 +91,59 @@ class Runner:
         elif cfg.get("finetune_from"):
             self.state = load_network_filtered(cfg.finetune_from, self.state)
 
+    def resume_latest(self) -> bool:
+        """Crash recovery: restore the newest checkpoint under log_dir/ckpt
+        (full state incl. optimizer — unlike the reference, whose resume is
+        weights-only, SURVEY.md §5.3/5.4).  Returns True if one was found."""
+        ckpt_dir = os.path.join(self.log_dir, "ckpt")
+        if not os.path.isdir(ckpt_dir):
+            return False
+        tags = [d for d in os.listdir(ckpt_dir)
+                if os.path.isdir(os.path.join(ckpt_dir, d))]
+        if not tags:
+            return False
+        def key(t):
+            return (1, int(t.split("_")[1])) if t.startswith("epoch_") \
+                else (0, 0)
+        tag = sorted(tags, key=key)[-1]
+        self.state = load_model(os.path.join(ckpt_dir, tag), self.state)
+        return True
+
+    def infer_and_export(self, loader, out_dir: str,
+                         max_batches: Optional[int] = None,
+                         write_view: bool = False) -> None:
+        """Inference driver (reference
+        `runner.py:690-868` infer_lane_coordinate_endpoint_semantics):
+        decode + postprocess every tile, write lane-seq JSONs and optional
+        overlay PNGs."""
+        import jax as _jax
+        from ..decode.lane_decode import decode_lanes
+        from ..decode.postprocess import lane_maps_from_decode
+        from ..tools.export_lanes import lane_records
+        import json as _json
+
+        os.makedirs(out_dir, exist_ok=True)
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            out = self._eval_step(self.state, _jax.device_put(batch["proj"]))
+            dec = _jax.device_get(decode_lanes(out, self.cfg))
+            maps = lane_maps_from_decode(dec, self.cfg)
+            names = batch.get("image_name",
+                              [f"b{i}_{j}" for j in
+                               range(len(batch["proj"]))])
+            for j, name in enumerate(names):
+                with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
+                    _json.dump(lane_records(maps["cls_offset_smooth"][j]), f)
+                if write_view:
+                    from PIL import Image
+                    from ..utils.vis_utils import render_lane_overlays
+                    img = render_lane_overlays(batch["proj"][j],
+                                               maps["cls_offset_smooth"][j],
+                                               maps["endp_by_cls"][j])
+                    Image.fromarray(img).save(
+                        os.path.join(out_dir, f"{name}_overlay.png"))
+
     # -- logging -----------------------------------------------------------
     def _log(self, tag: str, record: Dict):
         record = {k: (float(v) if isinstance(v, (jnp.ndarray, np.ndarray))
@@ -103,22 +156,6 @@ class Runner:
         db = {k: v for k, v in batch.items() if k in TRAIN_BATCH_KEYS
               and not isinstance(v, list)}
         return shard_batch(db, self.mesh)
-
-    def train_epoch(self, loader, epoch: int) -> Dict:
-        t0 = time.time()
-        last = {}
-        for it, batch in enumerate(loader):
-            self.rng, step_rng = jax.random.split(self.rng)
-            db = self._device_batch(batch)
-            self.state, stats = self._train_step(self.state, db, step_rng)
-            if it % 10 == 0:
-                stats = jax.device_get(stats)
-                rec = {"epoch": epoch, "iter": it,
-                       **{k: float(v) for k, v in stats.items()}}
-                self._log("train", rec)
-                last = rec
-        last["epoch_time_s"] = time.time() - t0
-        return last
 
     def train(self, max_iters: Optional[int] = None):
         cfg = self.cfg
@@ -147,8 +184,11 @@ class Runner:
         if loader is None:
             split = cfg.dataset.get("val") or cfg.dataset.test
             loader = build_dataloader(split, cfg, is_train=False)
+        head_type = cfg.heads.type if "heads" in cfg else None
         if cfg.net.type == "Segmentor":
             metrics = self._validate_seg(loader, max_batches)
+        elif head_type in ("RowSharNotReducRef", "GridSeg"):
+            metrics = self._validate_grid(loader, max_batches, head_type)
         else:
             metrics = self._validate_lanes(loader, max_batches)
         metric = metrics.get("composite", metrics.get("val_loss_neg", 0.0))
@@ -183,6 +223,32 @@ class Runner:
             if endp_scores else 0.0
         return {"seg_f1": seg_f1, "endp_f1": endp_f1,
                 "composite": 0.9 * seg_f1 + 0.1 * endp_f1}
+
+    def _validate_grid(self, loader, max_batches, head_type: str) -> Dict:
+        """KLane grid validation (reference `runner.py:257-322` branch):
+        buffered 144x144 confidence F1 on argmax maps."""
+        from ..utils.metrics import grid_measures
+        cfg = self.cfg
+        f1s = []
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            out = self._eval_step(self.state, jax.device_put(batch["proj"]))
+            if head_type == "RowSharNotReducRef":
+                from ..decode.row_decode import decode_row_lanes
+                dec = jax.device_get(decode_row_lanes(out, cfg.number_lanes))
+                conf_pred = dec["conf"]
+            else:  # GridSeg
+                conf = jax.device_get(out["conf"])
+                conf_pred = (conf > cfg.get("conf_thr", 0.3)).astype(
+                    np.float64)
+            label = batch["label"][:, :, :cfg.heads.row_size]
+            conf_label = (label != 255).astype(np.float64)
+            for b in range(conf_pred.shape[0]):
+                f1s.append(grid_measures(conf_label[b],
+                                         np.asarray(conf_pred[b]))["f1"])
+        f1 = float(np.mean(f1s)) if f1s else 0.0
+        return {"conf_f1": f1, "composite": f1}
 
     def _validate_lanes(self, loader, max_batches) -> Dict:
         """Lane-coordinate validation (reference `runner.py:223-353`)."""

@@ -27,6 +27,7 @@ def lane_records(ply: np.ndarray, row_anchor_stride: int = 8,
                   float(ply[li, r, 0]), int(ply[li, r, 1])] for r in rows]
         recs.append({
             "lane_id": int(li),
+            "seq_len": len(verts),
             "init_vertex": verts[0][:2],
             "end_vertex": verts[-1][:2],
             "seq": verts,

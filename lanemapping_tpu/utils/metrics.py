@@ -93,6 +93,43 @@ def eval_metric_line_segmentor(seg_result: np.ndarray, mask: np.ndarray,
     return {"acc": acc, "recall": recall, "f1": f1, **agg}
 
 
+def _neighborhood_match(a: np.ndarray, center: np.ndarray) -> np.ndarray:
+    """any 3x3 neighbour of ``a`` equals ``center`` (interior pixels only)."""
+    h, w = a.shape
+    out = np.zeros((h, w), bool)
+    inner = np.zeros((h, w), bool)
+    inner[1:h - 1, 1:w - 1] = True
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            shifted = np.roll(np.roll(a, dr, 0), dc, 1)
+            out |= shifted == center
+    return out & inner
+
+
+def grid_measures(arr_label: np.ndarray, arr_pred: np.ndarray,
+                  occupied: float = 1.0) -> Dict:
+    """Legacy 144x144 grid metrics with a 3x3 matching buffer
+    (reference `calc_measures_conf:178-241`), vectorised."""
+    label = np.asarray(arr_label)
+    pred = np.asarray(arr_pred)
+    pred_enh = _neighborhood_match(pred, label)
+    label_enh = _neighborhood_match(label, pred)
+    inner = np.zeros_like(pred_enh)
+    inner[1:-1, 1:-1] = True  # reference loops rows/cols 1..142
+    is_lb = (label == occupied) & inner
+    is_pr = (pred == occupied) & inner
+    tp = int(np.sum(is_lb & pred_enh))
+    fn = int(np.sum(is_lb & ~pred_enh))
+    fp = int(np.sum(is_pr & ~label_enh))
+    tn = label.size - tp - fp - fn
+    acc = (tp + tn) / (tp + tn + fp + fn + EPS)
+    precision = tp / (tp + fp + EPS)
+    recall = tp / (tp + fn + EPS)
+    f1 = 2 * tp / (2 * tp + fp + fn + EPS)
+    return {"acc": acc, "precision": precision, "recall": recall, "f1": f1,
+            "tp": tp, "fp": fp, "fn": fn}
+
+
 def eval_metric_endp_detector(endp_pred: Union[np.ndarray, list],
                               endp_gt: np.ndarray, r_thre: float = 10) -> Dict:
     """Endpoint F1 (reference `:483-514`).  ``endp_pred`` is either an [N,2]

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--save-lanes", default=None,
                     help="dir to write per-tile lane-seq JSONs")
+    ap.add_argument("--view", action="store_true",
+                    help="also write overlay PNGs next to the lane JSONs")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -47,9 +49,10 @@ def main():
     print(json.dumps({"metrics": metrics, "wall_s": round(dt, 2)}))
 
     if args.save_lanes:
-        from lanemapping_tpu.tools.export_lanes import export_lane_seqs
-        export_lane_seqs(runner, loader, args.save_lanes,
-                         max_batches=args.max_batches)
+        loader2 = build_dataloader(split_cfg, cfg, is_train=False)
+        runner.infer_and_export(loader2, args.save_lanes,
+                                max_batches=args.max_batches,
+                                write_view=args.view)
         print(f"[infer] lane seqs written to {args.save_lanes}")
 
 

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Production mapping driver: stream a directory of BEV tiles through the
+TPU and emit a global 3-D lane map.
+
+The pipelined equivalent of the reference's three sequential stages
+(`test_gpu_0.py` inference -> `coor_img2pc.py` -> `merge_lines.py`): tile
+loading, TPU forward+decode, and host post-processing run concurrently —
+the loader prefetches ahead of the device, and the C++ polyline tracker +
+3-D lift run on a worker pool while the next batch is on the chip.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("data_root", help="dataset root (cropped_tiff/ + labels/)")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--out", default="./map_out")
+    ap.add_argument("--split", default="all")
+    ap.add_argument("--params-dir", default=None,
+                    help="cropped_tiff_param dir for the 3-D lift; skipped "
+                         "if absent")
+    ap.add_argument("--batch", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+    from lanemapping_tpu.config.config import Config
+    from lanemapping_tpu.engine.runner import Runner
+    from lanemapping_tpu.engine.checkpoint import load_model
+    from lanemapping_tpu.data.loader import Loader
+    from lanemapping_tpu.registry import build_from_cfg, DATASETS
+    from lanemapping_tpu.decode.lane_decode import decode_lanes
+    from lanemapping_tpu.decode.postprocess import lane_maps_from_decode
+    from lanemapping_tpu.tools.export_lanes import lane_records
+
+    cfg = Config.fromfile(args.config)
+    if args.batch:
+        cfg.batch_size = args.batch
+    for s in ("train", "val", "test"):
+        cfg.dataset[s]["data_root"] = args.data_root
+    runner = Runner(cfg)
+    if args.ckpt:
+        runner.state = load_model(os.path.abspath(args.ckpt), runner.state)
+
+    ds_cfg = dict(cfg.dataset.test)
+    ds_cfg["mode"] = args.split
+    ds = build_from_cfg(ds_cfg, DATASETS, default_args=dict(cfg=cfg))
+    loader = Loader(ds, batch_size=cfg.batch_size, shuffle=False,
+                    drop_last=False, num_threads=8, prefetch=3)
+
+    lanes_dir = os.path.join(args.out, "lanes_2d")
+    os.makedirs(lanes_dir, exist_ok=True)
+    pool = ThreadPoolExecutor(4)
+    pending = []
+    n_tiles = 0
+    t0 = time.time()
+
+    def postprocess(dec_host, names):
+        maps = lane_maps_from_decode(dec_host, cfg)
+        for j, name in enumerate(names):
+            with open(os.path.join(lanes_dir, f"{name}.json"), "w") as f:
+                json.dump(lane_records(maps["cls_offset_smooth"][j]), f)
+
+    for batch in loader:
+        out = runner._eval_step(runner.state, jax.device_put(batch["proj"]))
+        dec = jax.device_get(decode_lanes(out, cfg))  # overlaps with loader
+        pending.append(pool.submit(postprocess, dec, batch["image_name"]))
+        n_tiles += len(batch["proj"])
+    for p in pending:
+        p.result()
+    dt = time.time() - t0
+    print(f"[stream_map] {n_tiles} tiles in {dt:.1f}s "
+          f"({n_tiles / max(dt, 1e-9):.2f} tiles/s end-to-end)")
+
+    if args.params_dir and os.path.isdir(args.params_dir):
+        from lanemapping_tpu.tools.img2pc import convert_directory
+        from lanemapping_tpu.tools.merge_lines import merge_directory
+        pc_dir = convert_directory(lanes_dir,
+                                   os.path.join(args.data_root,
+                                                "cropped_tiff"),
+                                   args.params_dir, n_workers=8)
+        merged, down = merge_directory(pc_dir)
+        print(f"[stream_map] global map: {merged}")
+    else:
+        print("[stream_map] no params dir: stopping at 2-D lane seqs")
+
+
+if __name__ == "__main__":
+    main()

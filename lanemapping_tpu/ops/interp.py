@@ -89,20 +89,20 @@ def _resize_axis_gather(x: jnp.ndarray, axis: int, n_out: int) -> jnp.ndarray:
     return a * (1 - f) + b * f
 
 
-# Above this many input rows/cols the dense interpolation matmul wastes MXU
-# work (n_in MACs per output vs bilinear's 2) and gather+lerp wins.
+# Gather+lerp resize looked attractive on paper (2 MACs per output vs the
+# dense operator matmul's n_in) but MEASURED SLOWER on TPU v5e: 86.7 vs
+# 108.7 tiles/s on the flagship pipeline — large row-gathers lower poorly
+# while the MXU eats the extra matmul FLOPs for free.  Matmul form is the
+# default; the gather path is kept for reference/CPU use.
+_USE_GATHER_RESIZE = False
 _GATHER_THRESHOLD = 64
 
 
 def resize_bilinear_ac(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """Align-corners bilinear resize of NHWC (or ...HWC) tensors.
-
-    Two implementations with identical results: small maps ride the MXU as
-    dense 1-D operator matmuls (fuses well, negligible FLOPs); large maps use
-    gather+lerp on the VPU, which avoids O(n_in) MACs per output element.
-    """
+    """Align-corners bilinear resize of NHWC (or ...HWC) tensors as two
+    1-D interpolation-operator matmuls (MXU-friendly, fuses under XLA)."""
     *lead, h, w, c = x.shape
-    if max(h, w) > _GATHER_THRESHOLD:
+    if _USE_GATHER_RESIZE and max(h, w) > _GATHER_THRESHOLD:
         y = _resize_axis_gather(x, x.ndim - 3, out_h)
         return _resize_axis_gather(y, x.ndim - 2, out_w)
     mh = jnp.asarray(_interp_matrix_np(h, out_h), dtype=x.dtype)

@@ -43,11 +43,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a host batch with the leading axis split on ``data``."""
+    """Device-put a host batch with the leading axis split on ``data``.
+
+    Single-host: a plain sharded device_put.  Multi-host (DCN): each process
+    holds its local slice of the global batch and
+    ``make_array_from_process_local_data`` assembles the logical array —
+    the replacement for the reference's DistributedSampler
+    (`datasets/registry.py:42-43`).
+    """
     sh = batch_sharding(mesh)
+    multi_host = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if isinstance(v, (list, tuple)) and v and isinstance(v[0], str):
             continue  # metadata stays on host
-        out[k] = jax.device_put(v, sh)
+        if multi_host:
+            out[k] = jax.make_array_from_process_local_data(sh, np.asarray(v))
+        else:
+            out[k] = jax.device_put(v, sh)
     return out

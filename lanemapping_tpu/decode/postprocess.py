@@ -475,7 +475,11 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
     img = cfg.list_img_size_xy[0]
     B, P, S = dec["cls_offset"].shape
 
+    view_detail = bool(cfg.get("view_detail", False))
     out = {"cls_offset_smooth": [], "endp_by_cls": [], "semantic_line": []}
+    if view_detail:
+        out["cls_coor_pred_smooth"] = []
+        out["cls_exp_smooth"] = []
     for b in range(B):
         conf = dec["prop_conf"][b, :, 1]
         v_ext = np.array(dec["prop_v_ext"][b], dtype=np.float64)
@@ -501,6 +505,19 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
         orient = np.array(dec["orient"][b], dtype=np.int64)
         smooth = _smooth_dispatch(coors, orient, seg_conf, img)
         smooth = _nms_dispatch(smooth, seg_conf, img)
+
+        if view_detail:
+            # raw-argmax and expectation variants (reference `:821-845`:
+            # the cls path carries a +4 half-stride offset)
+            for key, out_key, off in (("cls", "cls_coor_pred_smooth", 4.0),
+                                      ("cls_exp", "cls_exp_smooth", 0.0)):
+                v = np.array(dec[key][b], dtype=np.float64)
+                v = v / row_size * img + off
+                v = np.where(exist == -1, -1.0, v)
+                v = np.clip(v, -1.0, img - 1.0)
+                v[(v > -1) & (v < 0)] = 0.0
+                vs = _smooth_dispatch(v, orient, seg_conf, img)
+                out[out_key].append(_nms_dispatch(vs, seg_conf, img))
 
         endp_map = np.zeros((img, img))
         coords = np.array(dec["endp_coords"][b])

@@ -104,6 +104,7 @@ class FPNEncoder(nn.Module):
     featuremap_out_channel: int = 64
     fea_up_channels: int = 8
     seg_classes: int = 3
+    remat: bool = False  # rematerialize trunk stages (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -117,25 +118,30 @@ class FPNEncoder(nn.Module):
         img_h, img_w = x.shape[1], x.shape[2]
 
         # --- bottom-up trunk (postprojector.py:563-578) --------------------
+        # Optional rematerialization: under autodiff the big 288px stage
+        # activations are recomputed in the backward pass instead of kept in
+        # HBM — the jax.checkpoint analogue of gradient checkpointing.
+        Stage = nn.remat(ResStage, static_argnums=(2,)) if self.remat \
+            else ResStage
         c1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                      use_bias=False, name="conv1")(x)
         c1 = nn.relu(norm("bn1")(c1))
         c1 = nn.max_pool(c1, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        c2 = ResStage(chans[0], layers[0], stride=1, in_planes=64,
-                      name="layer1")(c1, train)
-        c3 = ResStage(chans[1], layers[1], stride=2,
-                      dilate=self.replace_stride_with_dilation[0],
-                      in_planes=chans[0], name="layer2")(c2, train)
+        c2 = Stage(chans[0], layers[0], stride=1, in_planes=64,
+                   name="layer1")(c1, train)
+        c3 = Stage(chans[1], layers[1], stride=2,
+                   dilate=self.replace_stride_with_dilation[0],
+                   in_planes=chans[0], name="layer2")(c2, train)
         feats = [c2, c3]
         if has_c4:
-            c4 = ResStage(chans[2], layers[2], stride=2,
-                          dilate=self.replace_stride_with_dilation[1],
-                          in_planes=chans[1], name="layer3")(c3, train)
+            c4 = Stage(chans[2], layers[2], stride=2,
+                       dilate=self.replace_stride_with_dilation[1],
+                       in_planes=chans[1], name="layer3")(c3, train)
             feats.append(c4)
         if has_c5:
-            c5 = ResStage(chans[3], layers[3], stride=2,
-                          dilate=self.replace_stride_with_dilation[2],
-                          in_planes=chans[2], name="layer4")(c4, train)
+            c5 = Stage(chans[3], layers[3], stride=2,
+                       dilate=self.replace_stride_with_dilation[2],
+                       in_planes=chans[2], name="layer4")(c4, train)
             feats.append(c5)
 
         top = feats[-1]
@@ -232,4 +238,5 @@ def build_postprojector2(resnet="resnet34", pretrained=True,
         in_channels=tuple(in_channels),
         replace_stride_with_dilation=tuple(replace_stride_with_dilation),
         featuremap_out_channel=cfg.featuremap_out_channel if cfg else 64,
+        remat=cfg.get("remat", False) if cfg else False,
     )

@@ -29,5 +29,6 @@ from .models import (column_head, legacy, lidar_encoder, nets,  # noqa: F401,E40
                      resnet_fpn, resnet_fpn_family, row_head, swin, vit)
 from .data import laserlane  # noqa: F401,E402
 from .models.nets import build_model  # noqa: F401
+from .api import LaneMapper  # noqa: F401
 
 __version__ = "0.1.0"

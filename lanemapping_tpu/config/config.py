@@ -12,7 +12,6 @@ from __future__ import annotations
 import importlib.util
 import os
 import sys
-import tempfile
 import types
 import uuid
 from typing import Any, Dict, List

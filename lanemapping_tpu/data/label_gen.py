@@ -12,7 +12,6 @@ routine later feeds the XLA re-render).
 from __future__ import annotations
 
 import json
-import math
 import os
 from typing import Dict, List, Sequence, Tuple
 

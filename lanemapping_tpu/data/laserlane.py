@@ -9,7 +9,6 @@ Pure NumPy pipeline — samples are dicts of numpy arrays in NHWC, batched by
 from __future__ import annotations
 
 import json
-import os
 import os.path as osp
 import random
 from typing import Dict, List

@@ -11,7 +11,6 @@ the eval-time fallback when exactness matters more than staying on-device.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 

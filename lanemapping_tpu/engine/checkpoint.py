@@ -10,7 +10,6 @@ restores it, SURVEY.md §5.4), resume here restores the full state.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import numpy as np

@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 import os
 import random
-import time
 from typing import Dict, Optional
 
 import jax
@@ -28,7 +27,7 @@ from ..models.nets import build_model
 from ..parallel.mesh import make_mesh, replicated, shard_batch
 from .checkpoint import load_model, load_network_filtered, save_model
 from .optimizer import build_optimizer
-from .state import TrainState, create_train_state, make_eval_step, \
+from .state import create_train_state, make_eval_step, \
     make_train_step
 
 TRAIN_BATCH_KEYS = ("proj", "prop_ext", "prop_coor", "prop_offset",
@@ -80,8 +79,11 @@ class Runner:
             self._loss_fn = lambda out, batch: column_proposal_loss(
                 out, batch, hp)
 
+        compute_dtype = jnp.bfloat16 \
+            if cfg.get("train_compute_dtype") == "bfloat16" else None
         self._train_step = jax.jit(
-            make_train_step(self.model, self.tx, self._loss_fn),
+            make_train_step(self.model, self.tx, self._loss_fn,
+                            compute_dtype=compute_dtype),
             donate_argnums=(0,))
         self._eval_step = jax.jit(make_eval_step(self.model))
         self.best_metric = -1.0
@@ -150,6 +152,23 @@ class Runner:
                       else v) for k, v in record.items()}
         with open(os.path.join(self.log_dir, f"{tag}.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")
+        self._tb_log(tag, record)
+
+    def _tb_log(self, tag: str, record: Dict):
+        """Optional TensorBoard scalars (reference `runner.py:84,188-192`);
+        silently disabled when tensorboard isn't importable."""
+        if not hasattr(self, "_tb"):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(self.log_dir)
+            except Exception:
+                self._tb = None
+        if self._tb is None:
+            return
+        step = int(record.get("iter", record.get("epoch", 0)))
+        for k, v in record.items():
+            if isinstance(v, float) and k not in ("iter", "epoch"):
+                self._tb.add_scalar(f"{tag}/{k}", v, step)
 
     # -- loops --------------------------------------------------------------
     def _device_batch(self, batch: Dict) -> Dict:

@@ -27,16 +27,25 @@ def create_train_state(model, tx: optax.GradientTransformation, rng,
                       opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(model, tx, loss_fn: Callable[[Dict, Dict], Dict]):
+def make_train_step(model, tx, loss_fn: Callable[[Dict, Dict], Dict],
+                    compute_dtype=None):
     """Build the jittable training step.
 
     ``loss_fn(out, batch) -> {'loss', 'loss_stats'}``.  Includes the
     reference's NaN guard (`runner.py:178`): a non-finite loss skips the
     parameter update instead of poisoning the weights.
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision: f32 master
+    params/optimizer state, bf16 forward/backward (params cast inside the
+    differentiated function so gradients come back f32), f32 losses.
     """
 
     def step(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         def inner(params):
+            if compute_dtype is not None:
+                params = jax.tree.map(
+                    lambda x: x.astype(compute_dtype)
+                    if x.dtype == jnp.float32 else x, params)
             variables = {"params": params, "batch_stats": state.batch_stats}
             out, updates = model.apply(
                 variables, batch["proj"], train=True,

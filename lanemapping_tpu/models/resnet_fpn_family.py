@@ -10,7 +10,6 @@ with a factory per registered name.  None are used by the shipped configs
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ for free because reductions under pjit are logical-array reductions.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

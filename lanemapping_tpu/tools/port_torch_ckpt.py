@@ -17,7 +17,6 @@ only live under the off-by-default column_att flag) are skipped.
 
 from __future__ import annotations
 
-import re
 from typing import Dict, Tuple
 
 import numpy as np

@@ -7,7 +7,6 @@ shipped configs (`configs/Proj_polyline_fpn_vit_vertex_2.py:102-115`).
 
 from __future__ import annotations
 
-import random
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np

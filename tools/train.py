@@ -21,6 +21,8 @@ def main():
     ap.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     ap.add_argument("--max-iters", type=int, default=None,
                     help="stop after N iterations (smoke runs)")
+    ap.add_argument("--resume", default=None,
+                    help="log dir of a previous run to resume (full state)")
     args = ap.parse_args()
 
     from lanemapping_tpu.config.config import Config, parse_dict_action
@@ -37,7 +39,10 @@ def main():
                                            os.path.basename(args.config)))
     print(f"[train] config={args.config} log_dir={log_dir}")
 
-    runner = Runner(cfg, log_dir=log_dir)
+    runner = Runner(cfg, log_dir=args.resume or log_dir)
+    if args.resume and runner.resume_latest():
+        print(f"[train] resumed from {args.resume} at step "
+              f"{int(runner.state.step)}")
     runner.train(max_iters=args.max_iters)
     print("[train] done")
 

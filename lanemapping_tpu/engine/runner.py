@@ -276,7 +276,7 @@ class Runner:
         from ..utils.metrics import cal_coor_measures, \
             eval_metric_endp_detector
         cfg = self.cfg
-        coor_f1s, endp_f1s = [], []
+        coor_f1s, endp_f1s, sem_f1s = [], [], []
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
@@ -294,10 +294,23 @@ class Runner:
                     np.argwhere(maps["endp_by_cls"][b] > 0),
                     batch["endp_map"][b], r_thre=2 * cfg.get(
                         "validate_buffer", 10))["f1"])
+                if "mask" in batch:
+                    # semantic F1 on the re-rendered lane map
+                    # (reference `runner.py:779-787`); the rendered map is
+                    # already 1-px thin — the KD-tree matcher needs no
+                    # extra skeletonization
+                    from ..utils.metrics import _kdtree_prf
+                    sem_f1s.append(_kdtree_prf(
+                        np.argwhere(maps["semantic_line"][b] > 0),
+                        np.argwhere(batch["mask"][b] > 0),
+                        thre=cfg.get("validate_buffer", 10))["f1"])
         coor = float(np.mean(coor_f1s)) if coor_f1s else 0.0
         endp = float(np.mean(endp_f1s)) if endp_f1s else 0.0
-        return {"coor_f1": coor, "endp_f1": endp,
-                "composite": 0.9 * coor + 0.1 * endp}
+        metrics = {"coor_f1": coor, "endp_f1": endp,
+                   "composite": 0.9 * coor + 0.1 * endp}
+        if sem_f1s:
+            metrics["semantic_f1"] = float(np.mean(sem_f1s))
+        return metrics
 
 
 def load_config_and_runner(path_config: str, log_dir: Optional[str] = None):

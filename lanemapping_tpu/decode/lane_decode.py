@@ -41,8 +41,7 @@ def window_expectation(cls_probs: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(pw * jc.astype(pw.dtype), axis=-1)
 
 
-def cluster_peaks(coords: jnp.ndarray, scores: jnp.ndarray,
-                  radius: float, n_iter: int = 16):
+def cluster_peaks(coords: jnp.ndarray, radius: float, n_iter: int = 16):
     """Single-linkage radius clustering of [K,2] points.
 
     Returns (rep_coords [K,2], rep_valid [K], n_clusters): one representative
@@ -97,12 +96,12 @@ def decode_endpoints(endp_logits: jnp.ndarray, num_cls: int,
     inner = endp_logits[:, clip_w:H - clip_w, clip_w:W - clip_w]
     ih, iw = inner.shape[1], inner.shape[2]
     scores = jax.nn.sigmoid(inner.reshape(B, -1))
-    top_scores, top_idx = jax.lax.top_k(scores, top_k)
+    _, top_idx = jax.lax.top_k(scores, top_k)
     hh = (top_idx // iw + clip_w).astype(jnp.float32)
     ww = (top_idx % iw + clip_w).astype(jnp.float32)
     coords = jnp.stack([hh, ww], axis=-1)  # [B,K,2]
     rep_coords, rep_valid, _ = jax.vmap(
-        lambda c, s: cluster_peaks(c, s, radius))(coords, top_scores)
+        lambda c: cluster_peaks(c, radius))(coords)
     return rep_coords, rep_valid
 
 

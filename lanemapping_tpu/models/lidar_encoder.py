@@ -74,14 +74,21 @@ class LidarEncoder(nn.Module):
     grid: Sequence[int] = (576, 576, 10)
     backbone_channels: int = 128
     ds_ratio: int = 8
+    use_pallas_voxelizer: bool = False
 
     @nn.compact
     def __call__(self, points, train: bool = False, mask=None):
         """points: [B, N, 4] padded (x,y,z,intensity); mask: [B, N] valid."""
         if mask is None:
             mask = jnp.ones(points.shape[:2], bool)
-        vox = jax.vmap(lambda p, m: voxelize_bev_zfold(
-            p, m, self.pc_range, self.grid))(points, mask)  # [B,Y,X,Z*C]
+        if self.use_pallas_voxelizer:
+            from ..kernels.bev_rasterize import voxelize_bev_zfold_pallas
+            vox_fn = lambda p, m: voxelize_bev_zfold_pallas(
+                p, m, self.pc_range, self.grid)
+        else:
+            vox_fn = lambda p, m: voxelize_bev_zfold(
+                p, m, self.pc_range, self.grid)
+        vox = jax.vmap(vox_fn)(points, mask)  # [B,Y,X,Z*C]
         feat = DenseZFoldEncoder(self.backbone_channels,
                                  name="zfold_encoder")(vox, train)
         # flip rows to match the BEV annotation frame (reference `:70`)
@@ -124,4 +131,6 @@ def build_lidar_encoder(cfg=None, Xn=144, Yn=144, out_channels=64,
                         pc_range=pc_range, grid=grid,
                         backbone_channels=backbone_ch,
                         ds_ratio=cfg.get("gt_downsample_ratio", 8)
-                        if cfg else 8)
+                        if cfg else 8,
+                        use_pallas_voxelizer=cfg.get(
+                            "use_pallas_voxelizer", False) if cfg else False)

@@ -39,10 +39,9 @@ def test_cluster_peaks_matches_dbscan():
     blobs = [rng.normal(c, 3.0, size=(20, 2))
              for c in [(100, 100), (400, 300), (800, 900)]]
     pts = np.concatenate(blobs + [rng.uniform(0, 1100, (4, 2))], axis=0)
-    scores = rng.uniform(0.5, 1.0, len(pts)).astype(np.float32)
 
     reps, valid, n = cluster_peaks(jnp.asarray(pts, jnp.float32),
-                                   jnp.asarray(scores), radius=20.0)
+                                   radius=20.0)
     n = int(n)
     db = DBSCAN(eps=20.0, min_samples=1).fit(pts)
     assert n == len(set(db.labels_))

@@ -190,7 +190,13 @@ class Config:
 
     # -- CLI override bridge (reference `config.py:353-411`) ---------------
     def merge_from_dict(self, options: Dict[str, Any]):
-        """Merge dotted-key options, e.g. ``{"optimizer.lr": 1e-4}``."""
+        """Merge dotted-key options, e.g. ``{"optimizer.lr": 1e-4}``.
+
+        Convenience: overriding ``dataset_path`` also rewrites the per-split
+        ``dataset.*.data_root`` entries, which the config file derived from
+        it at exec time (the reference requires editing the file instead,
+        `configs/Proj_polyline_fpn_vit_vertex_2.py:134-139`).
+        """
         nested: Dict[str, Any] = {}
         for full_key, v in options.items():
             d = nested
@@ -199,6 +205,10 @@ class Config:
                 d = d.setdefault(p, {})
             d[parts[-1]] = v
         self._cfg = ConfigDict(merge_dict(self.to_dict(), nested))
+        if "dataset_path" in options and "dataset" in self._cfg:
+            for split in self._cfg["dataset"].values():
+                if isinstance(split, dict) and "data_root" in split:
+                    split["data_root"] = options["dataset_path"]
 
     def dump(self, path: str = None) -> str:
         text = _format_dict(self.to_dict())

@@ -96,7 +96,10 @@ def decode_endpoints(endp_logits: jnp.ndarray, num_cls: int,
     inner = endp_logits[:, clip_w:H - clip_w, clip_w:W - clip_w]
     ih, iw = inner.shape[1], inner.shape[2]
     scores = jax.nn.sigmoid(inner.reshape(B, -1))
-    _, top_idx = jax.lax.top_k(scores, top_k)
+    # approx_max_k: TPU-native partial reduction (exact top_k sorts the full
+    # 1.2M-pixel map); 0.99 recall on the top-240 peak *candidates* is far
+    # inside the clustering radius' tolerance
+    _, top_idx = jax.lax.approx_max_k(scores, top_k, recall_target=0.99)
     hh = (top_idx // iw + clip_w).astype(jnp.float32)
     ww = (top_idx % iw + clip_w).astype(jnp.float32)
     coords = jnp.stack([hh, ww], axis=-1)  # [B,K,2]

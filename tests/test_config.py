@@ -44,6 +44,14 @@ def test_merge_from_dict_and_dictaction(tmp_path):
     assert cfg.a == 1
 
 
+def test_dataset_path_override_propagates():
+    cfg = Config.fromfile(os.path.join(REPO, "configs",
+                                       "Proj_polyline_fpn_vit_vertex_2.py"))
+    cfg.merge_from_dict(parse_dict_action(["dataset_path=/data/elsewhere"]))
+    assert cfg.dataset.train.data_root == "/data/elsewhere"
+    assert cfg.dataset.test.data_root == "/data/elsewhere"
+
+
 def test_delete_key(tmp_path):
     base = tmp_path / "base.py"
     base.write_text("m = dict(type='A', x=1)\n")

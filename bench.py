@@ -100,4 +100,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The remote TPU tunnel occasionally drops a dispatch (observed ~1/10
+    # runs); one retry keeps the driver's benchmark record robust.
+    try:
+        main()
+    except Exception as e:
+        print(f"[bench] first attempt failed ({type(e).__name__}); retrying",
+              file=sys.stderr)
+        main()

@@ -41,13 +41,20 @@ def window_expectation(cls_probs: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(pw * jc.astype(pw.dtype), axis=-1)
 
 
-def cluster_peaks(coords: jnp.ndarray, radius: float, n_iter: int = 16):
+def cluster_peaks(coords: jnp.ndarray, radius: float):
     """Single-linkage radius clustering of [K,2] points.
 
     Returns (rep_coords [K,2], rep_valid [K], n_clusters): one representative
     per cluster — the member closest to the cluster centroid, matching the
     reference's `cluster_select_topK_pts` (`:903-924`).  Padded slots carry
     rep_valid=False.
+
+    Labels run min-propagation over the eps-graph to a **fixpoint**
+    (`lax.while_loop` on label change), with pointer-jumping
+    (``labels = labels[labels]``) interleaved so chains of diameter D converge
+    in O(log D) rounds instead of D — DBSCAN(eps, min_samples=1) is exactly
+    the connected components of the eps-graph, including long chain
+    topologies (each hop <= eps even when the chain spans >> eps).
     """
     K = coords.shape[0]
     pts = coords.astype(jnp.float32)
@@ -56,12 +63,21 @@ def cluster_peaks(coords: jnp.ndarray, radius: float, n_iter: int = 16):
 
     labels0 = jnp.arange(K, dtype=jnp.int32)
 
-    def body(_, labels):
-        # propagate the min label over neighbours
-        lab_mat = jnp.where(adj, labels[None, :], K)
-        return jnp.min(lab_mat, axis=1).astype(jnp.int32)
+    def cond(carry):
+        _, changed = carry
+        return changed
 
-    labels = jax.lax.fori_loop(0, n_iter, body, labels0)
+    def body(carry):
+        labels, _ = carry
+        # one hop of neighbour-min propagation ...
+        lab_mat = jnp.where(adj, labels[None, :], K)
+        new = jnp.min(lab_mat, axis=1).astype(jnp.int32)
+        # ... then pointer-jump: labels are member indices, so chase the
+        # label of my label (monotone non-increasing => loop terminates)
+        new = jnp.minimum(new, new[new])
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
 
     # per-cluster centroid (clusters are keyed by their min member index)
     onehot = (labels[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)

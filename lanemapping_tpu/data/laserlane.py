@@ -209,9 +209,11 @@ class LaserLaneProposalEgo(LaserLaneProposal):
     LABEL_DIR = "labels_inside_lidar_range"
 
     def __init__(self, data_root, data_split_file="data_split-shuffle.json",
-                 mode="train", max_points=1 << 19, cfg=None):
+                 mode="train", max_points=None, cfg=None):
         super().__init__(data_root, data_split_file, mode, cfg)
-        self.max_points = max_points
+        if max_points is None:
+            max_points = cfg.get("max_points", 1 << 19) if cfg else 1 << 19
+        self.max_points = int(max_points)
         lbl = osp.join(data_root, self.LABEL_DIR)
         self.label_subdir = self.LABEL_DIR if osp.isdir(lbl) else "labels"
         las_dir = osp.join(data_root, "las")

@@ -3,8 +3,15 @@
 Replaces the reference's torch DataLoader + sampler stack
 (`/root/reference/baseline/datasets/registry.py:24-62`): numpy samples are
 assembled into batches on a thread pool and prefetched ahead of the device
-step, so host-side GT construction overlaps TPU compute.  Under a data
-mesh each process feeds the full logical batch (single-host) — pjit shards it.
+step, so host-side GT construction overlaps TPU compute.
+
+Multi-host (the DistributedSampler + ``set_epoch`` analogue,
+`datasets/registry.py:42-43`, `runner.py:213-214`): every process shuffles
+the full index list with the same epoch-keyed seed, then each global batch
+is split into ``process_count`` contiguous rank slices — process ``r`` loads
+only its slice, and `parallel.mesh.shard_batch` assembles the logical global
+batch from the per-process slices.  Coverage across ranks is disjoint by
+construction.
 """
 
 from __future__ import annotations
@@ -30,15 +37,22 @@ def collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
-                 num_threads: int = 4, prefetch: int = 2):
+                 num_threads: int = 4, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # GLOBAL batch size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1 and batch_size % process_count != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide evenly over "
+                f"{process_count} processes")
 
     def __len__(self):
         n = len(self.dataset)
@@ -47,16 +61,24 @@ class Loader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self) -> List[np.ndarray]:
+        """Per-process index batches for this epoch.  All processes shuffle
+        identically (same seed+epoch), so rank slices of each global batch
+        are disjoint and together cover the epoch exactly once."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
+        local = self.batch_size // self.process_count
         batches = []
         for i in range(0, n, self.batch_size):
             b = idx[i:i + self.batch_size]
-            if len(b) < self.batch_size and self.drop_last:
+            if len(b) < self.batch_size and (self.drop_last
+                                             or self.process_count > 1):
+                # multi-host always drops ragged tails: every process must
+                # contribute an equal slice to the global array
                 continue
+            b = b[self.process_index * local:(self.process_index + 1) * local]
             batches.append(b)
         return batches
 
@@ -103,9 +125,12 @@ class Loader:
 def build_dataloader(split_cfg, cfg, is_train: bool = True) -> Loader:
     """Factory mirroring the reference `build_dataloader`
     (`datasets/registry.py:33-62`)."""
+    import jax
+
     from ..registry import build_dataset
 
     ds = build_dataset(split_cfg, cfg)
+    multi = jax.process_count() > 1 and is_train
     return Loader(
         ds,
         batch_size=cfg.batch_size,
@@ -113,4 +138,6 @@ def build_dataloader(split_cfg, cfg, is_train: bool = True) -> Loader:
         drop_last=is_train,
         seed=cfg.get("seed", 0),
         num_threads=min(8, max(1, cfg.get("workers", 4))),
+        process_index=jax.process_index() if multi else 0,
+        process_count=jax.process_count() if multi else 1,
     )

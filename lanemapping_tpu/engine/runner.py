@@ -51,8 +51,16 @@ class Runner:
         self.tx = build_optimizer(cfg)
         self.mesh = make_mesh(cfg)
 
-        img = cfg.list_img_size_xy[0]
-        example = jnp.zeros((1, img, img, 3), jnp.float32)
+        self.use_lidar = bool(cfg.get("use_lidar", False))
+        if self.use_lidar:
+            # raw-point path (reference `runner.py:139-147`): init/trace on
+            # the padded static point buffer LaserLaneProposalEgo emits
+            n_pts = int(cfg.get("max_points", 1 << 19))
+            example = {"points": jnp.zeros((1, n_pts, 4), jnp.float32),
+                       "points_mask": jnp.zeros((1, n_pts), bool)}
+        else:
+            img = cfg.list_img_size_xy[0]
+            example = jnp.zeros((1, img, img, 3), jnp.float32)
         self.rng, init_rng = jax.random.split(self.rng)
         state = create_train_state(self.model, self.tx, init_rng, example)
         # replicate across the mesh; batches are sharded on the data axis
@@ -83,7 +91,8 @@ class Runner:
             if cfg.get("train_compute_dtype") == "bfloat16" else None
         self._train_step = jax.jit(
             make_train_step(self.model, self.tx, self._loss_fn,
-                            compute_dtype=compute_dtype),
+                            compute_dtype=compute_dtype,
+                            use_lidar=self.use_lidar),
             donate_argnums=(0,))
         self._eval_step = jax.jit(make_eval_step(self.model))
         self.best_metric = -1.0
@@ -128,7 +137,7 @@ class Runner:
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
-            out = self._eval_step(self.state, _jax.device_put(batch["proj"]))
+            out = self._eval_step(self.state, self._eval_input(batch))
             dec = _jax.device_get(decode_lanes(out, self.cfg))
             maps = lane_maps_from_decode(dec, self.cfg)
             names = batch.get("image_name",
@@ -145,6 +154,57 @@ class Runner:
                                                maps["endp_by_cls"][j])
                     Image.fromarray(img).save(
                         os.path.join(out_dir, f"{name}_overlay.png"))
+
+    def infer_segmentor_and_export(self, loader, out_dir: Optional[str] = None,
+                                   max_batches: Optional[int] = None,
+                                   write_view: bool = False) -> Dict:
+        """Segmentor inference/export driver (reference
+        `runner.py:945-1036` infer_lane_geometry_segmentation_segmentor):
+        per-class semantic F1 + binary geometry F1 accumulated over the
+        split, with optional seg / skeleton overlay PNGs
+        (`postprojector.py:221-261` display maps)."""
+        from ..decode.seg_infer import segmentor_displays, segmentor_infer
+        from ..utils.metrics import eval_metric_line_segmentor
+
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+        counts = {k: {"tp": 0, "n_pred": 0, "dg": 0, "n_gt": 0}
+                  for k in ("coor", "semantic")}
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            out = self._eval_step(self.state, self._eval_input(batch))
+            pred = jax.device_get(segmentor_infer(
+                out, seg_thre=self.cfg.get("seg_thre", 0.1),
+                n_lanes=self.cfg.number_lanes))
+            names = batch.get("image_name",
+                              [f"b{i}_{j}" for j in
+                               range(batch["proj"].shape[0])])
+            for b in range(batch["proj"].shape[0]):
+                for key, bi in (("semantic", False), ("coor", True)):
+                    m = eval_metric_line_segmentor(
+                        pred["seg"][b], batch["mask"][b], bi_seg=bi,
+                        semantics=2,
+                        buffer_px=self.cfg.get("validate_buffer", 10))
+                    for k in counts[key]:
+                        counts[key][k] += m[k]
+                if write_view and out_dir:
+                    from PIL import Image
+                    seg_img, skel_img = segmentor_displays(
+                        batch["proj"][b], pred["seg"][b], pred["endp"][b])
+                    Image.fromarray(seg_img).save(os.path.join(
+                        out_dir, f"{names[b]}_segmentor.png"))
+                    Image.fromarray(skel_img).save(os.path.join(
+                        out_dir, f"{names[b]}_seg_skeleton.png"))
+        metrics = {}
+        for key, c in counts.items():
+            acc = c["tp"] / c["n_pred"] if c["n_pred"] else 0.0
+            rec = c["dg"] / c["n_gt"] if c["n_gt"] else 0.0
+            f1 = 2 * acc * rec / (acc + rec) if (acc + rec) > 0 else 0.0
+            metrics.update({f"{key}_conf_prec": acc, f"{key}_conf_rec": rec,
+                            f"{key}_conf_f1": f1})
+        self._log("segmentor_infer", metrics)
+        return metrics
 
     # -- logging -----------------------------------------------------------
     def _log(self, tag: str, record: Dict):
@@ -175,6 +235,11 @@ class Runner:
         db = {k: v for k, v in batch.items() if k in TRAIN_BATCH_KEYS
               and not isinstance(v, list)}
         return shard_batch(db, self.mesh)
+
+    def _eval_input(self, batch: Dict):
+        """Forward input for eval/inference: BEV image or LiDAR points dict."""
+        from .state import model_input
+        return jax.device_put(model_input(batch, self.use_lidar))
 
     def train(self, max_iters: Optional[int] = None):
         cfg = self.cfg
@@ -224,8 +289,7 @@ class Runner:
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
-            out = self._eval_step(self.state,
-                                  jax.device_put(batch["proj"]))
+            out = self._eval_step(self.state, self._eval_input(batch))
             from ..decode.seg_infer import segmentor_infer
             pred = segmentor_infer(out, seg_thre=self.cfg.get("seg_thre", 0.1),
                                    n_lanes=self.cfg.number_lanes)
@@ -252,7 +316,7 @@ class Runner:
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
-            out = self._eval_step(self.state, jax.device_put(batch["proj"]))
+            out = self._eval_step(self.state, self._eval_input(batch))
             if head_type == "RowSharNotReducRef":
                 from ..decode.row_decode import decode_row_lanes
                 dec = jax.device_get(decode_row_lanes(out, cfg.number_lanes))
@@ -276,11 +340,13 @@ class Runner:
         from ..utils.metrics import cal_coor_measures, \
             eval_metric_endp_detector
         cfg = self.cfg
-        coor_f1s, endp_f1s, sem_f1s = [], [], []
+        coor_f1s, endp_f1s = [], []
+        sem_counts = {"tp": 0, "n_pred": 0, "dg": 0, "n_gt": 0}
+        saw_mask = False
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
-            out = self._eval_step(self.state, jax.device_put(batch["proj"]))
+            out = self._eval_step(self.state, self._eval_input(batch))
             dec = jax.device_get(decode_lanes(out, cfg))
             maps = lane_maps_from_decode(dec, cfg)
             for b in range(batch["proj"].shape[0]):
@@ -295,21 +361,33 @@ class Runner:
                     batch["endp_map"][b], r_thre=2 * cfg.get(
                         "validate_buffer", 10))["f1"])
                 if "mask" in batch:
-                    # semantic F1 on the re-rendered lane map
-                    # (reference `runner.py:779-787`); the rendered map is
-                    # already 1-px thin — the KD-tree matcher needs no
-                    # extra skeletonization
-                    from ..utils.metrics import _kdtree_prf
-                    sem_f1s.append(_kdtree_prf(
-                        np.argwhere(maps["semantic_line"][b] > 0),
-                        np.argwhere(batch["mask"][b] > 0),
-                        thre=cfg.get("validate_buffer", 10))["f1"])
+                    # per-class semantic F1 on the re-rendered lane map:
+                    # solid (1) and dashed (2) skeletonised + matched
+                    # separately, counts pooled across classes AND tiles
+                    # (reference `eval_metric_line_segmentor(bi_seg=False)`,
+                    # `metric_utils.py:443-481`, accumulated as in
+                    # `runner.py:779-787`)
+                    from ..utils.metrics import eval_metric_line_segmentor
+                    saw_mask = True
+                    m = eval_metric_line_segmentor(
+                        maps["semantic_line"][b], batch["mask"][b],
+                        bi_seg=False, semantics=2,
+                        buffer_px=cfg.get("validate_buffer", 10))
+                    for k in sem_counts:
+                        sem_counts[k] += m[k]
         coor = float(np.mean(coor_f1s)) if coor_f1s else 0.0
         endp = float(np.mean(endp_f1s)) if endp_f1s else 0.0
         metrics = {"coor_f1": coor, "endp_f1": endp,
                    "composite": 0.9 * coor + 0.1 * endp}
-        if sem_f1s:
-            metrics["semantic_f1"] = float(np.mean(sem_f1s))
+        if saw_mask:
+            acc = sem_counts["tp"] / sem_counts["n_pred"] \
+                if sem_counts["n_pred"] else 0.0
+            rec = sem_counts["dg"] / sem_counts["n_gt"] \
+                if sem_counts["n_gt"] else 0.0
+            metrics["semantic_f1"] = 2 * acc * rec / (acc + rec) \
+                if (acc + rec) > 0 else 0.0
+            metrics["semantic_acc"] = acc
+            metrics["semantic_recall"] = rec
         return metrics
 
 

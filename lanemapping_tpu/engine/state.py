@@ -27,8 +27,18 @@ def create_train_state(model, tx: optax.GradientTransformation, rng,
                       opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def model_input(batch: Dict, use_lidar: bool = False):
+    """The net's forward input from a batch dict: the BEV image tensor, or —
+    on the raw-LiDAR path (reference `runner.py:139-147` to_cuda
+    list-of-points branch) — the padded static points buffer + mask that
+    `LidarEncoder` consumes."""
+    if use_lidar:
+        return {"points": batch["points"], "points_mask": batch["points_mask"]}
+    return batch["proj"]
+
+
 def make_train_step(model, tx, loss_fn: Callable[[Dict, Dict], Dict],
-                    compute_dtype=None):
+                    compute_dtype=None, use_lidar: bool = False):
     """Build the jittable training step.
 
     ``loss_fn(out, batch) -> {'loss', 'loss_stats'}``.  Includes the
@@ -48,7 +58,7 @@ def make_train_step(model, tx, loss_fn: Callable[[Dict, Dict], Dict],
                     if x.dtype == jnp.float32 else x, params)
             variables = {"params": params, "batch_stats": state.batch_stats}
             out, updates = model.apply(
-                variables, batch["proj"], train=True,
+                variables, model_input(batch, use_lidar), train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng})
             res = loss_fn(out, batch)
             return res["loss"], (res["loss_stats"],

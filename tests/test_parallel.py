@@ -49,6 +49,44 @@ def test_dist_helpers_single_process():
                                np.arange(3.0))
 
 
+def test_loader_rank_sharding_disjoint_coverage():
+    """DistributedSampler equivalent (reference `datasets/registry.py:42-43`
+    + `set_epoch`, `runner.py:213-214`): fake 2 processes' index streams and
+    assert each global batch is assembled from disjoint rank slices and one
+    epoch covers every sample exactly once."""
+    from lanemapping_tpu.data.loader import Loader
+
+    class IdxDataset:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {"idx": np.array([i]), "x": np.full((2, 2), i, np.float32)}
+
+    loaders = [Loader(IdxDataset(), batch_size=4, shuffle=True, seed=7,
+                      num_threads=1, process_index=r, process_count=2)
+               for r in range(2)]
+    streams = [list(ld) for ld in loaders]
+    assert len(streams[0]) == len(streams[1]) == 4
+    seen = []
+    for b0, b1 in zip(*streams):
+        # each process loads exactly its half of the global batch
+        assert b0["idx"].shape[0] == b1["idx"].shape[0] == 2
+        g = np.concatenate([b0["idx"], b1["idx"]]).ravel()
+        assert len(set(g.tolist())) == 4  # disjoint within the global batch
+        seen.extend(g.tolist())
+    assert sorted(seen) == list(range(16))  # exact epoch coverage
+
+    # epoch 2 reshuffles identically on both ranks (set_epoch semantics)
+    s2 = [list(ld) for ld in loaders]
+    seen2 = sorted(np.concatenate(
+        [b["idx"].ravel() for s in s2 for b in s]).tolist())
+    assert seen2 == list(range(16))
+    first_epoch_order = [b["idx"].ravel().tolist() for b in streams[0]]
+    second_epoch_order = [b["idx"].ravel().tolist() for b in s2[0]]
+    assert first_epoch_order != second_epoch_order
+
+
 def test_global_batch_stats_under_pjit():
     """BatchNorm batch statistics are computed over the GLOBAL batch under
     pjit (implicit SyncBN — the reference needs explicit

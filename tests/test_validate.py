@@ -49,3 +49,62 @@ def test_validate_detector_saves_best(tiny_cfg, synth_root, tmp_path):
     # best checkpoint written on first validation
     assert os.path.isdir(os.path.join(cfg.log_dir, "ckpt", "best"))
     assert runner.best_metric == m["composite"]
+
+
+def test_semantic_f1_per_class_sees_solid_dashed_confusion():
+    """Per-class semantic F1 (reference `eval_metric_line_segmentor`
+    with `bi_seg=False`, `metric_utils.py:443-481`): identical geometry with
+    swapped solid/dashed classes must score ~0, unlike the old all-positive
+    KD-tree approximation which scored it 1.0."""
+    from lanemapping_tpu.utils.metrics import eval_metric_line_segmentor
+
+    gt = np.zeros((64, 64), np.uint8)
+    gt[10:50, 20] = 1   # solid lane
+    gt[10:50, 44] = 2   # dashed lane
+    right = gt.copy()
+    swapped = np.where(gt == 1, 2, np.where(gt == 2, 1, 0)).astype(np.uint8)
+
+    m_right = eval_metric_line_segmentor(right, gt, bi_seg=False,
+                                         semantics=2, buffer_px=10)
+    m_swap = eval_metric_line_segmentor(swapped, gt, bi_seg=False,
+                                        semantics=2, buffer_px=10)
+    assert m_right["f1"] > 0.95
+    assert m_swap["f1"] < 0.05
+
+
+def test_validate_lanes_reports_semantic_f1(tiny_cfg, synth_root, tmp_path):
+    from lanemapping_tpu.engine.runner import Runner
+    from lanemapping_tpu.data.loader import build_dataloader
+
+    cfg = _wire(tiny_cfg, synth_root, tmp_path)
+    runner = Runner(cfg, log_dir=cfg.log_dir)
+    loader = build_dataloader(cfg.dataset.test, cfg, is_train=False)
+    m = runner.validate(loader=loader, max_batches=1)
+    assert {"semantic_f1", "semantic_acc", "semantic_recall"} <= set(m)
+    assert 0.0 <= m["semantic_f1"] <= 1.0
+
+
+def test_segmentor_export_driver(tiny_cfg, synth_root, tmp_path):
+    """Reference `infer_lane_geometry_segmentation_segmentor`
+    (`runner.py:945-1036`): accumulated coor/semantic conf F1 + seg and
+    skeleton display PNGs."""
+    import os
+    from lanemapping_tpu.engine.runner import Runner
+    from lanemapping_tpu.data.loader import build_dataloader
+
+    cfg = _wire(tiny_cfg, synth_root, tmp_path)
+    cfg.net = {"type": "Segmentor", "head_type": "seg", "loss_type": "ce"}
+    cfg.seg_thre = 0.1
+    for s in ("train", "val", "test"):
+        cfg.dataset[s]["type"] = "LaserLane"
+    runner = Runner(cfg, log_dir=cfg.log_dir)
+    loader = build_dataloader(cfg.dataset.test, cfg, is_train=False)
+    out_dir = str(tmp_path / "segout")
+    m = runner.infer_segmentor_and_export(loader, out_dir, max_batches=1,
+                                          write_view=True)
+    assert {"coor_conf_f1", "semantic_conf_f1",
+            "coor_conf_prec", "semantic_conf_rec"} <= set(m)
+    assert all(np.isfinite(v) for v in m.values())
+    pngs = os.listdir(out_dir)
+    assert any(p.endswith("_segmentor.png") for p in pngs)
+    assert any(p.endswith("_seg_skeleton.png") for p in pngs)

@@ -40,6 +40,29 @@ def _window_index(num_prop: int, stride: int, width: int) -> np.ndarray:
             + np.arange(width)[None, :]).astype(np.int32)
 
 
+class ConvPoolStack(nn.Module):
+    """Reference ``Conv_Pool_2d`` (`polyline_fpn_vit_vertex_2.py:48-61`):
+    a (5,3) conv followed by [relu, BN, stride-2 conv] stages."""
+
+    input_dim: int
+    hidden_dims: tuple
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.input_dim, (5, 3), padding=[(2, 2), (1, 1)],
+                    name="conv0")(x)
+        chans = list(self.hidden_dims) + [self.output_dim]
+        for i, ch in enumerate(chans):
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             name=f"bn{i}")(x)
+            x = nn.Conv(ch, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], name=f"conv{i + 1}")(x)
+        return x
+
+
 class ColumnProposalHead(nn.Module):
     dim_feat: int = 8
     row_size: int = 144
@@ -50,6 +73,15 @@ class ColumnProposalHead(nn.Module):
     num_orients: int = 11
     spatial_att: bool = True
     endp_mode: str = "endp_est"
+    column_att: bool = False
+    column_transformer_decoder: bool = False
+    dim_token: int = 1024
+    tr_depth: int = 1
+    tr_heads: int = 16
+    tr_dim_head: int = 64
+    tr_mlp_dim: int = 2048
+    tr_dropout: float = 0.0
+    tr_emb_dropout: float = 0.0
 
     @property
     def prop_fea_width(self) -> int:
@@ -80,6 +112,11 @@ class ColumnProposalHead(nn.Module):
             ch, (3, 3), strides=(stride, stride), padding=[(1, 1), (1, 1)],
             name=name)
         out = {}
+
+        if self.column_att:
+            x = self._column_attention(x, train)  # [B,S,P,F]
+        elif self.column_transformer_decoder:
+            x = self._column_query_decoder(x, train)  # [B,S,P,F]
 
         # local+global feature concat (reference `:359`)
         col_fea_up = jnp.concatenate(
@@ -171,6 +208,93 @@ class ColumnProposalHead(nn.Module):
         out["offset2"] = conv1d_head(tok, self.dim_shared, W, "offset2")
         return out
 
+    def _column_attention(self, x, train: bool):
+        """Reference ``column_att`` branch
+        (`polyline_fpn_vit_vertex_2.py:163-181,317-346`): downsample the
+        correlator map to one column per proposal (Conv_Pool_2d), tokenise
+        each column, add per-proposal embeddings, run the lane-correlator
+        transformer, and expand each token back to a per-proposal column
+        feature.  The reference loops over batch and proposals building
+        tokens one at a time; here tokenisation is one reshape + one matmul
+        and the transformer runs over all P tokens at once.
+
+        [B,S,S,F] -> [B,S,P,F] (width = one column per proposal, upsampled
+        back to 2S by the caller's bilinear resize, matching
+        `_upsample_cat(col_feats_batch, x_up)`).
+        """
+        from .transformer import Transformer
+
+        B, S, _, F_ = x.shape
+        P = self.num_prop
+        k = max(1, int(np.log2(max(1, S // P))))  # stride-2 stages: S -> P
+        hidden = tuple(F_ * (2 ** i) for i in range(1, k))
+        out_ch = F_ * (2 ** k)
+        fd = ConvPoolStack(F_, hidden, out_ch,
+                           name="generate_line_proposal")(x, train)
+        # one token per column; (c h) flatten order, h fastest (`:159-162`)
+        t = jnp.transpose(fd, (0, 2, 3, 1)).reshape(B, P, out_ch * P)
+        t = nn.Dense(self.dim_token, name="to_token")(t)
+        # stacked per-proposal position embeddings (reference emb_{i}, `:163-164`)
+        emb = self.param("prop_emb", nn.initializers.normal(1.0),
+                         (P, self.dim_token))
+        t = t + emb[None].astype(t.dtype)
+        if self.tr_emb_dropout > 0:
+            t = nn.Dropout(self.tr_emb_dropout,
+                           deterministic=not train)(t)
+        t = Transformer(self.dim_token, self.tr_depth, self.tr_heads,
+                        self.tr_dim_head, self.tr_mlp_dim, self.tr_dropout,
+                        name="tr_lane_correlator")(t, train)
+        t = nn.LayerNorm(name="tr_lane_norm")(t)
+        # line_expand (`:185-188`): token -> (c h w) column feature, w=1
+        col = nn.Dense(F_ * S, name="line_expand")(t)  # [B,P,F*S]
+        col = col.reshape(B, P, F_, S)
+        return jnp.transpose(col, (0, 3, 1, 2))  # [B,S,P,F]
+
+    def _column_query_decoder(self, x, train: bool):
+        """Working TPU-native equivalent of the reference's
+        ``column_transformer_decoder`` branch, which is BROKEN as shipped:
+        `polyline_fpn_vit_vertex_2.py:346-351` calls ``self.pe``,
+        ``self.line_decoder``, ``self.to_patch_embedding`` and
+        ``self.reverse_query_embedding``, none of which are defined in
+        ``__init__`` — enabling the flag raises AttributeError in the
+        reference.  Equivalent here: P learned lane queries cross-attend
+        over 8x8 patch embeddings (+ learned image position embeddings) of
+        the correlator map, then expand to per-proposal column features
+        exactly like ``line_expand``.
+        """
+        from .transformer import FeedForward
+
+        B, S, _, F_ = x.shape
+        P = self.num_prop
+        ps = 8
+        n = S // ps
+        patches = x.reshape(B, n, ps, n, ps, F_)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, n * n, ps * ps * F_)
+        kv = nn.Dense(self.dim_token, name="to_patch_embedding")(patches)
+        img_pe = self.param("img_pe", nn.initializers.normal(0.02),
+                            (n * n, self.dim_token))
+        kv = kv + img_pe[None].astype(kv.dtype)
+        kv = nn.LayerNorm(name="kv_norm")(kv)
+        q0 = self.param("query_embed", nn.initializers.normal(1.0),
+                        (P, self.dim_token))
+        q = jnp.broadcast_to(q0[None], (B, P, self.dim_token)).astype(kv.dtype)
+        for d in range(self.tr_depth):
+            qn = nn.LayerNorm(name=f"dec{d}_norm1")(q)
+            att = nn.MultiHeadDotProductAttention(
+                num_heads=self.tr_heads,
+                qkv_features=self.tr_heads * self.tr_dim_head,
+                out_features=self.dim_token,
+                name=f"dec{d}_xattn")(qn, kv)
+            q = q + att
+            qn = nn.LayerNorm(name=f"dec{d}_norm2")(q)
+            q = q + FeedForward(self.dim_token, self.tr_mlp_dim,
+                                self.tr_dropout, name=f"dec{d}_mlp")(qn, train)
+        q = nn.LayerNorm(name="dec_out_norm")(q)
+        col = nn.Dense(F_ * S, name="reverse_query_embedding")(q)
+        col = col.reshape(B, P, F_, S)
+        return jnp.transpose(col, (0, 3, 1, 2))  # [B,S,P,F]
+
 
 @HEADS.register_module(name="ColumnProposal2")
 def build_column_proposal2(cfg=None, dim_feat=8, row_size=144, dim_shared=100,
@@ -185,4 +309,14 @@ def build_column_proposal2(cfg=None, dim_feat=8, row_size=144, dim_shared=100,
         num_orients=cfg.number_orients if cfg else 11,
         spatial_att=cfg.get("spatial_att", True) if cfg else True,
         endp_mode=kw.get("endp_mode", "endp_est"),
+        column_att=cfg.get("column_att", False) if cfg else False,
+        column_transformer_decoder=cfg.get(
+            "column_transformer_decoder", False) if cfg else False,
+        dim_token=kw.get("dim_token", 1024),
+        tr_depth=kw.get("tr_depth", 1),
+        tr_heads=kw.get("tr_heads", 16),
+        tr_dim_head=kw.get("tr_dim_head", 64),
+        tr_mlp_dim=kw.get("tr_mlp_dim", 2048),
+        tr_dropout=kw.get("tr_dropout", 0.0),
+        tr_emb_dropout=kw.get("tr_emb_dropout", 0.0),
     )

@@ -10,9 +10,10 @@ Layout rules: torch Conv2d [O,I,kh,kw] -> flax [kh,kw,I,O]; Conv1d(k=1)
 LayerNorm weight/bias -> scale/bias (+ running stats into batch_stats).
 The name map below covers Detector1stage = FPNWrapper (postprojector.py:417+)
 + VitSegNet (vitsegnet.py:132+) + ColumnProposal2
-(polyline_fpn_vit_vertex_2.py:65+); dead branches of the reference head
-(reg_ffn, to_token, tr_lane_correlator, line_expand, per-proposal emb_i —
-only live under the off-by-default column_att flag) are skipped.
+(polyline_fpn_vit_vertex_2.py:65+), including the column_att branch
+(generate_line_proposal / to_token / per-proposal emb_{i} stacked into one
+[P, dim_token] table / tr_lane_correlator / line_expand, `:132-188`); the
+always-dead reg_ffn is skipped.
 """
 
 from __future__ import annotations
@@ -62,7 +63,32 @@ def _resnet_block_rules(t_prefix: str, j_prefix: str, n_blocks: int):
     return rules
 
 
-def build_rules(resnet_layers=(3, 4, 6), vit_depth=3) -> list:
+def _transformer_rules(t_prefix: str, j_prefix: str, depth: int) -> list:
+    """Pre-norm ViT block rules (shared by the correlator backbone,
+    `vitsegnet.py:20-83`, and the head's tr_lane_correlator,
+    `heads/transformer.py:76-90` — identical structure)."""
+    R = []
+    for d in range(depth):
+        t = f"{t_prefix}.layers.{d}"
+        j = f"{j_prefix}/block{d}"
+        R += [
+            (f"{t}.0.norm.weight", f"{j}/norm1/scale", None),
+            (f"{t}.0.norm.bias", f"{j}/norm1/bias", None),
+            (f"{t}.0.fn.to_qkv.weight", f"{j}/attn/to_qkv/kernel", _dense),
+            (f"{t}.0.fn.to_out.0.weight", f"{j}/attn/to_out/kernel", _dense),
+            (f"{t}.0.fn.to_out.0.bias", f"{j}/attn/to_out/bias", None),
+            (f"{t}.1.norm.weight", f"{j}/norm2/scale", None),
+            (f"{t}.1.norm.bias", f"{j}/norm2/bias", None),
+            (f"{t}.1.fn.net.0.weight", f"{j}/mlp/fc1/kernel", _dense),
+            (f"{t}.1.fn.net.0.bias", f"{j}/mlp/fc1/bias", None),
+            (f"{t}.1.fn.net.3.weight", f"{j}/mlp/fc2/kernel", _dense),
+            (f"{t}.1.fn.net.3.bias", f"{j}/mlp/fc2/bias", None),
+        ]
+    return R
+
+
+def build_rules(resnet_layers=(3, 4, 6), vit_depth=3, column_att=False,
+                tr_depth=1, conv_pool_stages=1) -> list:
     """(torch_key, jax_path, transform) triples for the flagship model."""
     R = []
     # --- FPN encoder -------------------------------------------------------
@@ -90,25 +116,36 @@ def build_rules(resnet_layers=(3, 4, 6), vit_depth=3) -> list:
           (f"{bb}.to_patch_embedding.1.bias",
            f"{bb}/patch_embed/bias", None),
           (f"{bb}.pos_embedding", f"{bb}/pos_embedding", None)]
-    for d in range(vit_depth):
-        t = f"{bb}.transformer.layers.{d}"
-        j = f"{bb}/transformer/block{d}"
-        R += [
-            (f"{t}.0.norm.weight", f"{j}/norm1/scale", None),
-            (f"{t}.0.norm.bias", f"{j}/norm1/bias", None),
-            (f"{t}.0.fn.to_qkv.weight", f"{j}/attn/to_qkv/kernel", _dense),
-            (f"{t}.0.fn.to_out.0.weight", f"{j}/attn/to_out/kernel", _dense),
-            (f"{t}.0.fn.to_out.0.bias", f"{j}/attn/to_out/bias", None),
-            (f"{t}.1.norm.weight", f"{j}/norm2/scale", None),
-            (f"{t}.1.norm.bias", f"{j}/norm2/bias", None),
-            (f"{t}.1.fn.net.0.weight", f"{j}/mlp/fc1/kernel", _dense),
-            (f"{t}.1.fn.net.0.bias", f"{j}/mlp/fc1/bias", None),
-            (f"{t}.1.fn.net.3.weight", f"{j}/mlp/fc2/kernel", _dense),
-            (f"{t}.1.fn.net.3.bias", f"{j}/mlp/fc2/bias", None),
-        ]
+    R += _transformer_rules(f"{bb}.transformer", f"{bb}/transformer",
+                            vit_depth)
 
     # --- column-proposal head ---------------------------------------------
     hd = "heads"
+    if column_att:
+        # reference `:146-188`: Conv_Pool_2d proposal generator, column
+        # tokeniser, per-proposal embeddings (stacked by port_state_dict
+        # into `{hd}.__emb_stack__`), lane-correlator transformer, expander
+        glp = f"{hd}.generate_line_proposal.0.layers"
+        jglp = f"{hd}/generate_line_proposal"
+        R += [(f"{glp}.0.weight", f"{jglp}/conv0/kernel", _conv),
+              (f"{glp}.0.bias", f"{jglp}/conv0/bias", None)]
+        for i in range(conv_pool_stages):
+            R += [(f"{glp}.{i + 1}.1", f"{jglp}/bn{i}", "bn"),
+                  (f"{glp}.{i + 1}.2.weight", f"{jglp}/conv{i + 1}/kernel",
+                   _conv),
+                  (f"{glp}.{i + 1}.2.bias", f"{jglp}/conv{i + 1}/bias", None)]
+        R += [(f"{hd}.to_token.1.weight", f"{hd}/to_token/kernel", _dense),
+              (f"{hd}.to_token.1.bias", f"{hd}/to_token/bias", None),
+              (f"{hd}.__emb_stack__", f"{hd}/prop_emb", None),
+              (f"{hd}.tr_lane_correlator.1.weight",
+               f"{hd}/tr_lane_norm/scale", None),
+              (f"{hd}.tr_lane_correlator.1.bias",
+               f"{hd}/tr_lane_norm/bias", None),
+              (f"{hd}.line_expand.0.weight", f"{hd}/line_expand/kernel",
+               _dense),
+              (f"{hd}.line_expand.0.bias", f"{hd}/line_expand/bias", None)]
+        R += _transformer_rules(f"{hd}.tr_lane_correlator.0",
+                                f"{hd}/tr_lane_correlator", tr_depth)
     seq = [
         # torch Sequential index -> (jax module, kind)
         ("endpoint.0", "endpoint_conv1", "conv"),
@@ -170,6 +207,15 @@ def port_state_dict(sd: Dict[str, np.ndarray], params: Dict,
     params = jax.tree.map(np.asarray, params)
     batch_stats = jax.tree.map(np.asarray, batch_stats)
     rules = rules or build_rules()
+    # stack the reference's per-proposal position embeddings emb_{i}
+    # (`polyline_fpn_vit_vertex_2.py:163-164`) into one [P, dim_token] table
+    import re
+    emb = {int(m.group(1)): k for k in sd
+           if (m := re.fullmatch(r"heads\.emb_(\d+)", k))}
+    if emb:
+        sd = dict(sd)
+        sd["heads.__emb_stack__"] = np.stack(
+            [sd[emb[i]] for i in range(len(emb))], axis=0)
     used = set()
     missing, ported = [], []
     for t_key, j_path, tf in rules:
@@ -198,8 +244,12 @@ def port_state_dict(sd: Dict[str, np.ndarray], params: Dict,
             ported.append(j_path)
         else:
             missing.append(j_path)
+    if "heads.__emb_stack__" in used:
+        used.update(emb.values())
+        used.add("heads.__emb_stack__")
     skipped_torch = [k for k in sd
-                     if k not in used and "num_batches_tracked" not in k]
+                     if k not in used and "num_batches_tracked" not in k
+                     and k != "heads.__emb_stack__"]
     report = {"ported": ported, "missing_jax": missing,
               "unused_torch": skipped_torch}
     return params, batch_stats, report

@@ -127,3 +127,38 @@ def test_patchify_inverse():
     t = patchify(x, 8)
     y = unpatchify(t, 2, 2, 8)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+
+def test_column_head_att_branches_shapes(tiny_cfg):
+    """column_att and the column_transformer_decoder equivalent (the
+    reference's own branch is broken: `polyline_fpn_vit_vertex_2.py:346-351`
+    references modules never defined in __init__) produce the standard
+    output contract."""
+    import jax
+    import jax.numpy as jnp
+    from lanemapping_tpu.registry import build_heads
+
+    cfg = tiny_cfg
+    S, P = cfg.heads.row_size, cfg.heads.num_prop
+    W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff
+    cfg.heads.dim_token = 64
+    cfg.heads.tr_heads = 4
+    cfg.heads.tr_dim_head = 16
+    cfg.heads.tr_mlp_dim = 128
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, S, S, 2), jnp.float32)
+    x_up = jnp.asarray(rng.randn(2, 2 * S, 2 * S, 8), jnp.float32)
+    x_endp = jnp.asarray(rng.randn(2, 8 * S, 8 * S, 1), jnp.float32)
+    for flag in ("column_att", "column_transformer_decoder"):
+        cfg.column_att = flag == "column_att"
+        cfg.column_transformer_decoder = flag == "column_transformer_decoder"
+        head = build_heads(cfg)
+        assert getattr(head, flag)
+        variables = head.init(jax.random.PRNGKey(0), x, x_up, x_endp,
+                              train=False)
+        out = head.apply(variables, x, x_up, x_endp, train=False)
+        assert out["proposal_conf"].shape == (2, P, 2)
+        assert out["ext2"].shape == (2, P, S, 3)
+        assert out["cls2"].shape == (2, P, S, W)
+        assert out["offset2"].shape == (2, P, S, W)
+        assert np.isfinite(np.asarray(out["cls2"])).all()

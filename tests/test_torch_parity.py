@@ -270,6 +270,129 @@ class TColumnProposal2(nn.Module):
         return out
 
 
+class TConvPool2d(nn.Module):
+    """Reference `Conv_Pool_2d` (`polyline_fpn_vit_vertex_2.py:48-61`)."""
+
+    def __init__(self, input_dim, hidden_dims, output_dim):
+        super().__init__()
+        layers = [nn.Conv2d(input_dim, input_dim, (5, 3), padding=(2, 1))]
+        for i, o in zip([input_dim] + hidden_dims, hidden_dims + [output_dim]):
+            layers.append(nn.Sequential(nn.ReLU(), nn.BatchNorm2d(i),
+                                        nn.Conv2d(i, o, 3, 2, 1)))
+        self.layers = nn.ModuleList(layers)
+
+    def forward(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+
+class TColumnAttProposal2(TColumnProposal2):
+    """column_att=True forward (`polyline_fpn_vit_vertex_2.py:132-188,
+    317-345`): Conv_Pool_2d proposal generator, per-column tokens + emb_{i},
+    lane-correlator transformer, line_expand back to column features."""
+
+    DIM_TOKEN = 64
+    TR_HEADS, TR_DH, TR_MLP = 4, 16, 128
+
+    def __init__(self):
+        super().__init__()
+        ch = VIT_OUT
+        self.generate_line_proposal = nn.Sequential(
+            TConvPool2d(ch, [], 2 * ch))
+        self.to_token = nn.Sequential(
+            nn.Identity(), nn.Linear(2 * ch * P, self.DIM_TOKEN))
+        for i in range(P):
+            setattr(self, f"emb_{i}",
+                    nn.Parameter(torch.randn(self.DIM_TOKEN)))
+        self.tr_lane_correlator = nn.Sequential(
+            TTransformer(self.DIM_TOKEN, 1, self.TR_HEADS, self.TR_DH,
+                         self.TR_MLP),
+            nn.LayerNorm(self.DIM_TOKEN))
+        self.line_expand = nn.Sequential(nn.Linear(self.DIM_TOKEN, ch * S))
+
+    def forward(self, x, x_up, x_endp):
+        b = x.shape[0]
+        ch = VIT_OUT
+        fd = self.generate_line_proposal(x)  # [B, 2ch, P, P]
+        toks = []
+        for w in range(P):
+            tt = fd[:, :, :, w].reshape(b, -1)  # (c h), h fastest
+            toks.append(self.to_token[1](tt) + getattr(self, f"emb_{w}"))
+        t = torch.stack(toks, dim=1)  # [B, P, dim_token]
+        t = self.tr_lane_correlator(t)
+        col = self.line_expand[0](t)  # [B, P, ch*S]
+        col = col.reshape(b, P, ch, S).permute(0, 2, 3, 1)  # [B, ch, S, P]
+        return super().forward(col, x_up, x_endp)
+
+
+@pytest.mark.slow
+def test_column_att_head_parity(tiny_cfg):
+    """Head-level activation parity with the column_att branch ON
+    (round-1 VERDICT #4)."""
+    import jax
+    import jax.numpy as jnp
+    from lanemapping_tpu.models.column_head import ColumnProposalHead
+    from lanemapping_tpu.tools.port_torch_ckpt import (build_rules,
+                                                       port_state_dict)
+
+    torch.manual_seed(3)
+    tmodel = TColumnAttProposal2().eval()
+    for m in tmodel.modules():
+        if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm1d)):
+            m.running_mean.normal_(0, 0.1)
+            m.running_var.uniform_(0.6, 1.4)
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, VIT_OUT, S, S).astype(np.float32)
+    x_up = rng.randn(2, F_DIM, 2 * S, 2 * S).astype(np.float32)
+    x_endp = rng.randn(2, 1, 8 * S, 8 * S).astype(np.float32)
+    with torch.no_grad():
+        t_out = tmodel(*map(torch.tensor, (x, x_up, x_endp)))
+
+    head = ColumnProposalHead(
+        dim_feat=F_DIM, row_size=S, dim_shared=DIM_SHARED, num_prop=P,
+        prop_width=PW, prop_half_buff=HB, num_orients=N_ORIENT,
+        endp_mode="endpoint", column_att=True,
+        dim_token=TColumnAttProposal2.DIM_TOKEN,
+        tr_depth=1, tr_heads=TColumnAttProposal2.TR_HEADS,
+        tr_dim_head=TColumnAttProposal2.TR_DH,
+        tr_mlp_dim=TColumnAttProposal2.TR_MLP)
+    nhwc = lambda a: np.transpose(a, (0, 2, 3, 1))
+    variables = head.init(jax.random.PRNGKey(0), jnp.asarray(nhwc(x)),
+                          jnp.asarray(nhwc(x_up)), jnp.asarray(nhwc(x_endp)),
+                          train=False)
+    sd = {f"heads.{k}": v.detach().numpy()
+          for k, v in tmodel.state_dict().items()}
+    rules = [r for r in build_rules(column_att=True, tr_depth=1,
+                                    conv_pool_stages=1)
+             if r[0].startswith("heads.")]
+    params, bstats, report = port_state_dict(
+        sd, {"heads": jax.device_get(variables["params"])},
+        {"heads": jax.device_get(variables["batch_stats"])}, rules)
+    assert not report["unused_torch"], report["unused_torch"][:8]
+    j_out = head.apply({"params": params["heads"],
+                        "batch_stats": bstats["heads"]},
+                       jnp.asarray(nhwc(x)), jnp.asarray(nhwc(x_up)),
+                       jnp.asarray(nhwc(x_endp)), train=False)
+
+    def cmp(name, tv, jv, image=False, tol=2e-3):
+        tv = tv.detach().numpy()
+        if image:
+            tv = nhwc(tv)
+        jv = np.asarray(jv, np.float32)
+        scale = max(1e-3, float(np.abs(tv).max()))
+        err = np.abs(tv - jv).max() / scale
+        assert err < tol, f"{name}: rel-max err {err:.2e}"
+
+    cmp("endpoint", t_out["endpoint"], j_out["endpoint"], image=True)
+    cmp("orient", t_out["orient"], j_out["orient"], image=True)
+    cmp("proposal_conf", t_out["proposal_conf"], j_out["proposal_conf"])
+    cmp("ext2", t_out["ext2"], j_out["ext2"])
+    cmp("cls2", t_out["cls2"], j_out["cls2"])
+    cmp("offset2", t_out["offset2"], j_out["offset2"])
+
+
 class TDetector(nn.Module):
     def __init__(self):
         super().__init__()

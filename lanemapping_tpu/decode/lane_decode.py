@@ -95,7 +95,7 @@ def cluster_peaks(coords: jnp.ndarray, radius: float):
 
 def decode_endpoints(endp_logits: jnp.ndarray, num_cls: int,
                      clip_w: int = 20, radius: float = 20.0,
-                     top_k: int = None):
+                     top_k: int = None, exact_topk: bool = False):
     """Endpoint extraction (reference `:638-688`): sigmoid the heatmap,
     crop a ``clip_w`` border, take the top-K scores, cluster within
     ``radius`` and keep one representative per cluster.
@@ -103,6 +103,10 @@ def decode_endpoints(endp_logits: jnp.ndarray, num_cls: int,
     The reference's adaptive-K loop grows K from num_cls*2*10 until >4
     clusters emerge or K>500; we take the K=num_cls*2*10 snapshot directly
     (peaks beyond the top-240 scores are noise in practice).
+
+    ``exact_topk``: use a full-sort ``lax.top_k`` instead of the TPU-native
+    ``approx_max_k`` partial reduction (cfg ``endp_decode='exact_topk'``;
+    measured ~7% slower end-to-end, see ARCHITECTURE.md).
 
     ``endp_logits``: [B, H, W].  Returns (coords [B,K,2] float, valid [B,K]).
     """
@@ -112,10 +116,13 @@ def decode_endpoints(endp_logits: jnp.ndarray, num_cls: int,
     inner = endp_logits[:, clip_w:H - clip_w, clip_w:W - clip_w]
     ih, iw = inner.shape[1], inner.shape[2]
     scores = jax.nn.sigmoid(inner.reshape(B, -1))
-    # approx_max_k: TPU-native partial reduction (exact top_k sorts the full
-    # 1.2M-pixel map); 0.99 recall on the top-240 peak *candidates* is far
-    # inside the clustering radius' tolerance
-    _, top_idx = jax.lax.approx_max_k(scores, top_k, recall_target=0.99)
+    if exact_topk:
+        _, top_idx = jax.lax.top_k(scores, top_k)
+    else:
+        # approx_max_k: TPU-native partial reduction (exact top_k sorts the
+        # full 1.2M-pixel map); 0.99 recall on the top-240 peak *candidates*
+        # is far inside the clustering radius' tolerance
+        _, top_idx = jax.lax.approx_max_k(scores, top_k, recall_target=0.99)
     hh = (top_idx // iw + clip_w).astype(jnp.float32)
     ww = (top_idx % iw + clip_w).astype(jnp.float32)
     coords = jnp.stack([hh, ww], axis=-1)  # [B,K,2]
@@ -164,10 +171,26 @@ def decode_lanes(out: Dict, cfg) -> Dict:
 
     endp_key = "endpoint" if h.get("endp_mode", "endp_est") == "endpoint" \
         else "endp_est"
-    endp_coords, endp_valid = decode_endpoints(
-        out[endp_key][..., 0], num_cls=cfg.number_lanes)
+    # endpoint path selector (cfg.endp_decode):
+    #   'approx_topk' (default) — fixed K, approx_max_k partial reduction
+    #   'exact_topk'            — fixed K, full-sort top_k
+    #   'exact_host'            — raw logits to the host for the reference's
+    #                             adaptive-K loop (decode/endpoints_host.py)
+    endp_mode = cfg.get("endp_decode", "approx_topk")
+    if endp_mode == "exact_host":
+        endp_extra = {"endp_logits": out[endp_key][..., 0]}
+        K = cfg.number_lanes * 2 * 10
+        B = out[endp_key].shape[0]
+        endp_coords = jnp.zeros((B, K, 2), jnp.float32)
+        endp_valid = jnp.zeros((B, K), bool)
+    else:
+        endp_extra = {}
+        endp_coords, endp_valid = decode_endpoints(
+            out[endp_key][..., 0], num_cls=cfg.number_lanes,
+            exact_topk=(endp_mode == "exact_topk"))
 
     return {
+        **endp_extra,
         "prop_conf": prop_conf,
         "prop_v_ext": prop_v_ext,
         "prop_cls_conf": cls_probs,

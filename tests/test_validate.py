@@ -108,3 +108,34 @@ def test_segmentor_export_driver(tiny_cfg, synth_root, tmp_path):
     pngs = os.listdir(out_dir)
     assert any(p.endswith("_segmentor.png") for p in pngs)
     assert any(p.endswith("_seg_skeleton.png") for p in pngs)
+
+
+def test_get_lane_map_on_source_image_surface(tiny_cfg, synth_root, tmp_path):
+    """Full pred_maps dict (reference
+    `polyline_fpn_vit_vertex_2.py:926-1083`), incl. view_detail variants."""
+    import jax
+    from lanemapping_tpu.engine.runner import Runner
+    from lanemapping_tpu.data.loader import build_dataloader
+    from lanemapping_tpu.decode.lane_decode import decode_lanes
+    from lanemapping_tpu.decode.postprocess import lane_maps_from_decode
+    from lanemapping_tpu.utils.vis_utils import get_lane_map_on_source_image
+
+    cfg = _wire(tiny_cfg, synth_root, tmp_path)
+    cfg.view_detail = True
+    runner = Runner(cfg, log_dir=cfg.log_dir)
+    loader = build_dataloader(cfg.dataset.test, cfg, is_train=False)
+    batch = next(iter(loader))
+    out = runner._eval_step(runner.state, runner._eval_input(batch))
+    dec = jax.device_get(decode_lanes(out, cfg))
+    maps = lane_maps_from_decode(dec, cfg)
+    pm = get_lane_map_on_source_image(maps, batch, cfg, dec=dec)
+    B = len(batch["proj"])
+    img = cfg.list_img_size_xy[0]
+    P, S = cfg.heads.num_prop, cfg.heads.row_size
+    for key in ("source_img_gray", "gt_on_img", "pred_bi_seg_on_image",
+                "pred_offset_lanes_on_image", "pred_org_lanes_on_image",
+                "pred_smooth_lanes_on_image", "pred_exp_lanes_on_image"):
+        assert len(pm[key]) == B, key
+        assert pm[key][0].shape == (img, img, 3), key
+        assert pm[key][0].dtype == np.uint8, key
+    assert pm["pred_smooth_lane_vertex"][0].shape == (P, S, 3)

@@ -30,6 +30,10 @@ def main():
                     help="cropped_tiff_param dir for the 3-D lift; skipped "
                          "if absent")
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--bench-json", action="store_true",
+                    help="print a BENCH-style JSON line with end-to-end "
+                         "tiles/s and km-lane/hour")
+    ap.add_argument("--max-batches", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -60,27 +64,65 @@ def main():
 
     lanes_dir = os.path.join(args.out, "lanes_2d")
     os.makedirs(lanes_dir, exist_ok=True)
-    pool = ThreadPoolExecutor(4)
+
+    # one fused jitted program per batch: forward + full XLA decode in a
+    # single dispatch (the axon tunnel costs ~45 ms per dispatch, and an
+    # unjitted decode would pay it per op)
+    from lanemapping_tpu.engine.state import make_eval_step
+    eval_step = make_eval_step(runner.model)
+    fwd_dec = jax.jit(lambda state, proj: decode_lanes(
+        eval_step(state, proj), cfg))
+
+    pool = ThreadPoolExecutor(6)
     pending = []
     n_tiles = 0
-    t0 = time.time()
+    lane_px = [0.0]
 
-    def postprocess(dec_host, names):
+    def postprocess(dec_dev, names):
+        # device->host readback inside the worker so the main loop keeps
+        # the chip fed; tracker/NMS/semantics/render follow on this thread
+        dec_host = jax.device_get(dec_dev)
         maps = lane_maps_from_decode(dec_host, cfg)
         for j, name in enumerate(names):
+            recs = lane_records(maps["cls_offset_smooth"][j])
+            for rec in recs:
+                seq = np.asarray(rec["seq"], np.float64)[:, :2]  # (row, col)
+                if len(seq) > 1:
+                    d = np.diff(seq, axis=0)
+                    lane_px[0] += float(np.sum(np.hypot(d[:, 0], d[:, 1])))
             with open(os.path.join(lanes_dir, f"{name}.json"), "w") as f:
-                json.dump(lane_records(maps["cls_offset_smooth"][j]), f)
+                json.dump(recs, f)
 
-    for batch in loader:
-        out = runner._eval_step(runner.state, jax.device_put(batch["proj"]))
-        dec = jax.device_get(decode_lanes(out, cfg))  # overlaps with loader
+    # warm the compile outside the timed region
+    first = next(iter(loader))
+    fwd_dec(runner.state, jax.device_put(first["proj"]))
+
+    t0 = time.time()
+    for i, batch in enumerate(loader):
+        if args.max_batches is not None and i >= args.max_batches:
+            break
+        dec = fwd_dec(runner.state, jax.device_put(batch["proj"]))
         pending.append(pool.submit(postprocess, dec, batch["image_name"]))
         n_tiles += len(batch["proj"])
     for p in pending:
         p.result()
     dt = time.time() - t0
+    tiles_s = n_tiles / max(dt, 1e-9)
+    # km of lane line produced per hour: polyline arc length in px * the
+    # dataset's 0.05 m/px BEV resolution (reference io_utils img_reso)
+    m_per_px = cfg.get("img_reso", 0.05)
+    km_lane_h = lane_px[0] * m_per_px / 1000.0 / max(dt, 1e-9) * 3600.0
     print(f"[stream_map] {n_tiles} tiles in {dt:.1f}s "
-          f"({n_tiles / max(dt, 1e-9):.2f} tiles/s end-to-end)")
+          f"({tiles_s:.2f} tiles/s end-to-end, "
+          f"{km_lane_h:.1f} km-lane/hour)")
+    if args.bench_json:
+        print(json.dumps({
+            "metric": "e2e_tiles_per_sec_per_chip",
+            "value": round(tiles_s, 2),
+            "unit": "tiles/s",
+            "km_lane_per_hour": round(km_lane_h, 1),
+            "n_tiles": n_tiles,
+        }))
 
     if args.params_dir and os.path.isdir(args.params_dir):
         from lanemapping_tpu.tools.img2pc import convert_directory

@@ -166,6 +166,11 @@ class LaserLaneProposal:
         if img.ndim == 2:
             img = np.stack([img] * 3, -1)
         img = img[..., :3].astype(np.float32) / 255.0
+        if self.mode == "infer_only":
+            # streaming-inference fast path: no labels on disk required and
+            # no proposal-GT build (the reference always builds GT in the
+            # worker, even at test time, `laserlane_proposals.py:102-252`)
+            return {"image_name": stem[:11], "proj": img}
         if cfg.get("dataset_color_augment", False) and self.mode == "train":
             img = color_jitter(img, np.random.RandomState(
                 np.random.randint(1 << 31)))

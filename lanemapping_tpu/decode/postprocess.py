@@ -323,20 +323,23 @@ def lane_vertex_semantics(lines: np.ndarray,
                           point_sem: np.ndarray) -> np.ndarray:
     """Per-vertex solid/dashed labels by segment voting against the decoded
     point-semantic map (reference `get_pred_semantic_lane_coordinates`,
-    `polyline_fpn_vit_vertex_2.py:1091-1115`)."""
+    `polyline_fpn_vit_vertex_2.py:1091-1115`), vectorised over all
+    [P, S-1] segments (the double Python loop was a measured hot spot on
+    the streaming host)."""
     n_line, n_v = lines.shape
+    c0 = np.trunc(lines[:, :-1]).astype(np.int64)
+    c1 = np.trunc(lines[:, 1:]).astype(np.int64)
+    valid = (c0 >= 0) & (c1 >= 0)
+    w = point_sem.shape[1]
+    rows0 = (np.arange(n_v - 1) * 8 + 3)[None, :]
+    s0 = point_sem[rows0, np.clip(c0, 0, w - 1)]
+    s1 = point_sem[rows0 + 8, np.clip(c1, 0, w - 1)]
+    val = np.where((s0 == 2) | (s1 == 2), 2.0, 1.0)
     sem = np.zeros_like(lines)
-    for i in range(n_line):
-        for r in range(n_v - 1):
-            c0, c1 = int(lines[i, r]), int(lines[i, r + 1])
-            if c0 < 0 or c1 < 0:
-                continue
-            s0 = point_sem[r * 8 + 3, c0]
-            s1 = point_sem[(r + 1) * 8 + 3, c1]
-            val = 2 if (s0 == 2 or s1 == 2) else 1
-            sem[i, r] = val
-            if r == n_v - 2 and c1 > 0:
-                sem[i, r + 1] = val
+    sem[:, :-1] = np.where(valid, val, 0.0)
+    # trailing vertex inherits its segment's label (reference `:1113-1115`)
+    last = valid[:, -1] & (c1[:, -1] > 0)
+    sem[:, -1] = np.where(last, val[:, -1], 0.0)
     return sem
 
 
@@ -453,7 +456,7 @@ def render_semantic_map(ply: np.ndarray, img: int = 1152) -> np.ndarray:
     c0 = np.trunc(ply[:, :-1, 0])
     c1 = np.trunc(ply[:, 1:, 0])
     li, r = np.nonzero((c0 >= 0) & (c1 >= 0))
-    out = np.zeros((img, img))
+    out = np.zeros((img, img), np.float32)
     if not len(li):
         return out
     a_c, b_c = c0[li, r], c1[li, r]
@@ -527,12 +530,12 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
         coors = np.clip(coors, -1.0, img - 1.0)
         coors[(coors > -1) & (coors < 0)] = 0.0
 
-        # point-semantic scatter map at full resolution
-        point_sem = np.zeros((img, img))
-        for li in range(P):
-            rows = np.nonzero(coors[li] > 0)[0]
-            point_sem[rows * 8 + 3, coors[li, rows].astype(int)] = \
-                exist[li, rows]
+        # point-semantic scatter map at full resolution (float32: the map
+        # is only compared against {1,2} downstream)
+        point_sem = np.zeros((img, img), np.float32)
+        li_idx, rows = np.nonzero(coors > 0)
+        point_sem[rows * 8 + 3, coors[li_idx, rows].astype(int)] = \
+            exist[li_idx, rows]
 
         seg_conf = np.array(dec["bi_seg"][b], dtype=np.float64)
         orient = np.array(dec["orient"][b], dtype=np.int64)
@@ -559,7 +562,7 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
             endp_map = endpoint_map_host(np.asarray(dec["endp_logits"][b]),
                                          cfg.number_lanes)
         else:
-            endp_map = np.zeros((img, img))
+            endp_map = np.zeros((img, img), np.float32)
             coords = np.array(dec["endp_coords"][b])
             valid = np.array(dec["endp_valid"][b])
             pts = coords[valid].astype(int)

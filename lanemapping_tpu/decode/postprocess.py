@@ -354,18 +354,21 @@ def _run_length(sem_row: np.ndarray) -> List[List[int]]:
 
 
 def uniform_semantics(ply: np.ndarray, endp_map: Optional[np.ndarray],
-                      r_buff: int = 20):
+                      r_buff: int = 20, ep: Optional[np.ndarray] = None):
     """Run-length smoothing of per-vertex semantics + endpoint pruning
     (reference `polyline_uniform_semantics_by_statistics:448-586`).
 
-    ``ply``: [N,S,2] (column, semantic) per vertex.  Returns (ply, endp_map).
+    ``ply``: [N,S,2] (column, semantic) per vertex.  ``ep``: optional
+    precomputed [M,2] endpoint coordinates (skips a full-map argwhere).
+    Returns (ply, endp_map).
     """
     from scipy.spatial import cKDTree
 
     n_line, n_v, _ = ply.shape
     all_pts = []
-    if endp_map is not None:
+    if endp_map is not None and ep is None:
         ep = np.argwhere(endp_map > 0)
+    ep_i = ep.astype(int) if ep is not None else None
     for li in range(n_line):
         v_idx = np.nonzero(ply[li, :, 0] > 0)[0]
         if len(v_idx) < 2:
@@ -402,14 +405,14 @@ def uniform_semantics(ply: np.ndarray, endp_map: Optional[np.ndarray],
                 tree = cKDTree(pts[v_idx])
                 d, _ = tree.query(ep, k=1)
                 for idx in np.nonzero(d <= 8)[0]:
-                    endp_map[ep[idx, 0], ep[idx, 1]] = 0.0
+                    endp_map[ep_i[idx, 0], ep_i[idx, 1]] = 0.0
 
     # prune endpoints with no polyline within 10 px
     if endp_map is not None and len(ep) and all_pts:
         tree = cKDTree(np.concatenate(all_pts, axis=0))
         d, _ = tree.query(ep, k=1)
         for idx in np.nonzero(d > 10)[0]:
-            endp_map[ep[idx, 0], ep[idx, 1]] = 0.0
+            endp_map[ep_i[idx, 0], ep_i[idx, 1]] = 0.0
     return ply, endp_map
 
 
@@ -505,6 +508,25 @@ def _nms_dispatch(lines, sem_map, img):
     return polyline_nms(lines, sem_map)
 
 
+def _uniform_dispatch(ply, endp_map, ep, r_buff):
+    """Native semantic uniformisation + endpoint pruning with NumPy
+    fallback; ``ep`` [M,2] are the endpoint coordinates already scattered
+    into ``endp_map``."""
+    try:
+        from ..native import uniform_semantics_native
+        out = uniform_semantics_native(ply, ep, r_buff=r_buff)
+        if out is not None:
+            ply, keep = out
+            dropped = ep[~keep].astype(int)
+            if len(dropped):
+                endp_map[dropped[:, 0], dropped[:, 1]] = 0.0
+            return ply, endp_map
+    except Exception:
+        pass
+    return uniform_semantics(ply, endp_map, r_buff=r_buff,
+                             ep=np.asarray(ep, np.float64))
+
+
 def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
     """Host assembly of final lane maps from the on-device decode dict."""
     row_size = cfg.heads.row_size
@@ -537,7 +559,9 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
         point_sem[rows * 8 + 3, coors[li_idx, rows].astype(int)] = \
             exist[li_idx, rows]
 
-        seg_conf = np.array(dec["bi_seg"][b], dtype=np.float64)
+        # float32 throughout: the native tracker/NMS take f32 maps, so no
+        # full-resolution float64 copies are made per tile
+        seg_conf = np.ascontiguousarray(dec["bi_seg"][b], dtype=np.float32)
         orient = np.array(dec["orient"][b], dtype=np.int64)
         smooth = _smooth_dispatch(coors, orient, seg_conf, img)
         smooth = _nms_dispatch(smooth, seg_conf, img)
@@ -558,20 +582,22 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
         if "endp_logits" in dec:
             # cfg.endp_decode == 'exact_host': the reference's adaptive-K
             # loop on the raw heatmap (decode/endpoints_host.py)
-            from .endpoints_host import endpoint_map_host
-            endp_map = endpoint_map_host(np.asarray(dec["endp_logits"][b]),
-                                         cfg.number_lanes)
+            from .endpoints_host import decode_endpoints_host
+            pts = decode_endpoints_host(np.asarray(dec["endp_logits"][b]),
+                                        cfg.number_lanes).astype(int)
         else:
-            endp_map = np.zeros((img, img), np.float32)
             coords = np.array(dec["endp_coords"][b])
             valid = np.array(dec["endp_valid"][b])
             pts = coords[valid].astype(int)
-            if len(pts):
-                endp_map[pts[:, 0], pts[:, 1]] = 1.0
+        endp_map = np.zeros((img, img), np.float32)
+        if len(pts):
+            endp_map[pts[:, 0], pts[:, 1]] = 1.0
 
         sem = lane_vertex_semantics(smooth, point_sem)
         ply = np.stack([smooth, sem], axis=2)
-        ply, endp_map = uniform_semantics(ply, endp_map, r_buff=20)
+        ply, endp_map = _uniform_dispatch(ply, endp_map,
+                                          np.asarray(pts, np.float64)
+                                          .reshape(-1, 2), r_buff=20)
         ply = remove_short(ply, min_v_count=8)
         out["cls_offset_smooth"].append(ply)
         out["endp_by_cls"].append(endp_map)

@@ -47,14 +47,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             path = build_library()
             lib = ctypes.CDLL(path)
             dp = ctypes.POINTER(ctypes.c_double)
+            fp = ctypes.POINTER(ctypes.c_float)
             ip = ctypes.POINTER(ctypes.c_int32)
-            lib.lm_smooth_lanes.argtypes = [dp, ip, dp, ctypes.c_int,
+            up = ctypes.POINTER(ctypes.c_uint8)
+            lib.lm_smooth_lanes.argtypes = [dp, ip, fp, ctypes.c_int,
                                             ctypes.c_int, ctypes.c_int,
                                             ctypes.c_int, dp]
             lib.lm_smooth_lanes.restype = None
-            lib.lm_polyline_nms.argtypes = [dp, dp, ctypes.c_int,
+            lib.lm_polyline_nms.argtypes = [dp, fp, ctypes.c_int,
                                             ctypes.c_int, ctypes.c_int]
             lib.lm_polyline_nms.restype = None
+            lib.lm_uniform_semantics.argtypes = [dp, dp, ctypes.c_int,
+                                                 ctypes.c_int, ctypes.c_int,
+                                                 dp, ctypes.c_int, up]
+            lib.lm_uniform_semantics.restype = None
             _lib = lib
         except Exception:
             _failed = True
@@ -63,6 +69,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def _dp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 def smooth_lanes_native(out_cls: np.ndarray, orient: np.ndarray,
@@ -79,8 +89,8 @@ def smooth_lanes_native(out_cls: np.ndarray, orient: np.ndarray,
     result = np.empty_like(out_cls)
     conf_ptr = None
     if seg_conf is not None:
-        seg_conf = np.ascontiguousarray(seg_conf, np.float64)
-        conf_ptr = _dp(seg_conf)
+        seg_conf = np.ascontiguousarray(seg_conf, np.float32)
+        conf_ptr = _fp(seg_conf)
     lib.lm_smooth_lanes(
         _dp(out_cls),
         orient_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -94,7 +104,29 @@ def polyline_nms_native(lines: np.ndarray, sem_map: np.ndarray,
     if lib is None:
         return None
     lines = np.ascontiguousarray(lines, np.float64)
-    sem_map = np.ascontiguousarray(sem_map, np.float64)
+    sem_map = np.ascontiguousarray(sem_map, np.float32)
     n_line, n_v = lines.shape
-    lib.lm_polyline_nms(_dp(lines), _dp(sem_map), n_line, n_v, img)
+    lib.lm_polyline_nms(_dp(lines), _fp(sem_map), n_line, n_v, img)
     return lines
+
+
+def uniform_semantics_native(ply: np.ndarray, ep: np.ndarray, r_buff: int = 20):
+    """Native run-length semantic uniformisation + endpoint pruning.
+
+    ``ply``: [N,S,2] (col, semantic) modified in place semantically;
+    ``ep``: [M,2] endpoint candidates.  Returns (ply, keep_mask) or None
+    when the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_line, n_v, _ = ply.shape
+    cols = np.ascontiguousarray(ply[:, :, 0], np.float64)
+    sem = np.ascontiguousarray(ply[:, :, 1], np.float64)
+    ep64 = np.ascontiguousarray(ep.reshape(-1, 2), np.float64)
+    keep = np.ones((len(ep64),), np.uint8)
+    lib.lm_uniform_semantics(
+        _dp(cols), _dp(sem), n_line, n_v, int(r_buff), _dp(ep64),
+        len(ep64), keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    ply[:, :, 1] = sem
+    return ply, keep.astype(bool)

@@ -97,7 +97,7 @@ void lm_thin_vertex_grid(double* occ, const double* conf, int rows, int cols,
 // out_cls: [n_line, n_v] raw columns; orient: [n_v, n_v] classes;
 // seg_conf: [img, img] or nullptr; result: [n_line, n_v].
 void lm_smooth_lanes(const double* out_cls, const int32_t* orient,
-                     const double* seg_conf, int n_line, int n_v, int img,
+                     const float* seg_conf, int n_line, int n_v, int img,
                      int complete_inner, double* result) {
   std::vector<double> src(out_cls, out_cls + n_line * n_v);
   sort_left_to_right(src, n_line, n_v);
@@ -109,10 +109,13 @@ void lm_smooth_lanes(const double* out_cls, const int32_t* orient,
       if (c > 0) occ[r * img + (int)c] = 1.0;
     }
   if (seg_conf) {
+    // float32 input (the decode ships f32 maps; converting only the n_v
+    // anchor rows here avoids a full-map float64 copy per tile)
     std::vector<double> conf_rows((size_t)n_v * img);
-    for (int r = 0; r < n_v; ++r)
-      std::memcpy(&conf_rows[(size_t)r * img], seg_conf + (size_t)(8 * r + 3) * img,
-                  img * sizeof(double));
+    for (int r = 0; r < n_v; ++r) {
+      const float* srow = seg_conf + (size_t)(8 * r + 3) * img;
+      for (int c = 0; c < img; ++c) conf_rows[(size_t)r * img + c] = srow[c];
+    }
     lm_thin_vertex_grid(occ.data(), conf_rows.data(), n_v, img, 4);
   }
 
@@ -234,7 +237,7 @@ void lm_smooth_lanes(const double* out_cls, const int32_t* orient,
 }
 
 // Polyline NMS (parity with decode/postprocess.polyline_nms).
-void lm_polyline_nms(double* lines, const double* sem_map, int n_line,
+void lm_polyline_nms(double* lines, const float* sem_map, int n_line,
                      int n_v, int img) {
   auto count_pos = [&](int i) {
     int n = 0;
@@ -288,7 +291,7 @@ void lm_polyline_nms(double* lines, const double* sem_map, int n_line,
         } else {
           if (std::fabs(vb - va) < kNmsDist) {
             double ra = sem_map[(size_t)(r * 8 + 3) * img + (int)va];
-            double rb = sem_map[(size_t)(r * 8 + 3) * img + (int)vb];
+            double rb = sem_map[(size_t)(r * 8 + 3) * img + (int)vb];  // f32 promote
             double high = ra > rb ? va : vb;
             if (!has_last_a && !has_last_b) {
               a[r] = high; b[r] = -1; last_a = a[r]; has_last_a = true;
@@ -327,6 +330,94 @@ void lm_polyline_nms(double* lines, const double* sem_map, int n_line,
         for (int r = 0; r < n_v; ++r) lines[victim * n_v + r] = -1.0;
         if (victim == i) break;
       }
+    }
+  }
+}
+
+// Run-length semantic uniformisation + endpoint pruning (parity with
+// decode/postprocess.uniform_semantics, reference
+// `polyline_utils.py:448-586`).
+// cols/sem: [n_line, n_v] in/out; ep: [n_ep, 2] (row, col) endpoint
+// candidates; ep_keep: [n_ep] out (1 = keep).
+void lm_uniform_semantics(const double* cols, double* sem, int n_line,
+                          int n_v, int r_buff, const double* ep, int n_ep,
+                          uint8_t* ep_keep) {
+  for (int e = 0; e < n_ep; ++e) ep_keep[e] = 1;
+  std::vector<double> all_r, all_c;  // vertices of every >=2-vertex lane
+  for (int li = 0; li < n_line; ++li) {
+    const double* col = cols + (size_t)li * n_v;
+    double* srow = sem + (size_t)li * n_v;
+    std::vector<int> v_idx;
+    for (int r = 0; r < n_v; ++r)
+      if (col[r] > 0) v_idx.push_back(r);
+    if (v_idx.size() < 2) continue;
+    for (int r : v_idx) {
+      all_r.push_back(r * 8 + 3);
+      all_c.push_back(col[r]);
+    }
+
+    // run-length encode the FULL semantic row (zeros included)
+    std::vector<std::pair<int, int>> runs;  // (value, count)
+    runs.emplace_back((int)srow[0], 1);
+    for (int r = 1; r < n_v; ++r) {
+      if ((int)srow[r] == runs.back().first) ++runs.back().second;
+      else runs.emplace_back((int)srow[r], 1);
+    }
+    // swallow short runs sandwiched between equal longer neighbours,
+    // growing the tolerated void 5 -> r_buff in steps of 3
+    for (int void_sz = 5; void_sz < r_buff; void_sz += 3) {
+      size_t k = 1;
+      while (k + 1 < runs.size()) {
+        auto& prev = runs[k - 1];
+        auto& cur = runs[k];
+        auto& nxt = runs[k + 1];
+        if (prev.first > 0 && prev.first != cur.first &&
+            nxt.first == prev.first && cur.second < void_sz &&
+            prev.second >= cur.second && nxt.second >= cur.second) {
+          prev.second += cur.second + nxt.second;
+          runs.erase(runs.begin() + k, runs.begin() + k + 2);
+          k = 1;
+        } else {
+          ++k;
+        }
+      }
+    }
+    int pos = 0;
+    for (auto& rv : runs) {
+      for (int r = pos; r < pos + rv.second && r < n_v; ++r)
+        srow[r] = rv.first;
+      pos += rv.second;
+    }
+
+    // a single-semantic long line should carry no interior endpoints
+    int best = 0;
+    for (auto& rv : runs)
+      if (rv.first > 0) best = std::max(best, rv.second);
+    if (best > 130 && n_ep) {
+      for (int e = 0; e < n_ep; ++e) {
+        if (!ep_keep[e]) continue;
+        double dmin = 1e30;
+        for (int r : v_idx) {
+          double dr = ep[e * 2] - (r * 8 + 3);
+          double dc = ep[e * 2 + 1] - col[r];
+          dmin = std::min(dmin, dr * dr + dc * dc);
+        }
+        if (dmin <= 64.0) ep_keep[e] = 0;  // d <= 8
+      }
+    }
+  }
+
+  // prune endpoints with no polyline vertex within 10 px
+  if (n_ep && !all_r.empty()) {
+    for (int e = 0; e < n_ep; ++e) {
+      if (!ep_keep[e]) continue;
+      double dmin = 1e30;
+      for (size_t k = 0; k < all_r.size(); ++k) {
+        double dr = ep[e * 2] - all_r[k];
+        double dc = ep[e * 2 + 1] - all_c[k];
+        dmin = std::min(dmin, dr * dr + dc * dc);
+      }
+      if (dmin > 100.0) ep_keep[e] = 0;  // d > 10
     }
   }
 }

@@ -63,3 +63,51 @@ def test_native_faster_than_numpy():
     smooth_lanes_native(coors.copy(), orient, seg_conf, True, 1152)
     t_cc = time.perf_counter() - t0
     assert t_cc < t_np  # native tracker beats the Python loop
+
+
+def test_uniform_semantics_native_parity():
+    """C++ lm_uniform_semantics vs the NumPy reference implementation:
+    identical smoothed semantics and identical endpoint pruning."""
+    from lanemapping_tpu.native import uniform_semantics_native
+    from lanemapping_tpu.decode.postprocess import uniform_semantics
+
+    rng = np.random.RandomState(11)
+    for trial in range(8):
+        n_line, n_v, img = 12, 144, 1152
+        ply = np.full((n_line, n_v, 2), -1.0)
+        ply[:, :, 1] = 0.0
+        for li in range(rng.randint(2, 8)):
+            lo = rng.randint(0, 30)
+            hi = rng.randint(n_v - 30, n_v)
+            ply[li, lo:hi, 0] = np.clip(
+                rng.uniform(30, 1100) + np.cumsum(
+                    rng.uniform(-2, 2, hi - lo)), 1, img - 2)
+            # noisy semantics with short runs to smooth
+            base = rng.randint(1, 3)
+            sem = np.full(hi - lo, base)
+            for _ in range(rng.randint(0, 6)):
+                p = rng.randint(0, hi - lo - 3)
+                sem[p:p + rng.randint(1, 4)] = 3 - base
+            ply[li, lo:hi, 1] = sem
+        ep = np.stack([rng.uniform(0, img - 1, 40),
+                       rng.uniform(0, img - 1, 40)], axis=1)
+        # some endpoints exactly on lanes (survive), some far (pruned)
+        ep[:5, 0] = np.arange(5) * 8 + 3
+        ep[:5, 1] = ply[0, np.arange(5), 0]
+
+        endp_map_np = np.zeros((img, img), np.float32)
+        pts = ep.astype(int)
+        endp_map_np[pts[:, 0], pts[:, 1]] = 1.0
+        endp_map_cc = endp_map_np.copy()
+
+        ply_np, em_np = uniform_semantics(ply.copy(), endp_map_np,
+                                          r_buff=20, ep=ep.copy())
+        out = uniform_semantics_native(ply.copy(), ep.copy(), r_buff=20)
+        assert out is not None, "native library must build"
+        ply_cc, keep = out
+        dropped = pts[~keep]
+        if len(dropped):
+            endp_map_cc[dropped[:, 0], dropped[:, 1]] = 0.0
+
+        np.testing.assert_array_equal(ply_cc[:, :, 1], ply_np[:, :, 1])
+        np.testing.assert_array_equal(endp_map_cc, em_np)

@@ -92,7 +92,7 @@ def main():
     t1 = timed(run1)
     t2 = timed(run2)
     tiles_per_sec = batch * (n2 - n1) / max(t2 - t1, 1e-9)
-    print(json.dumps({
+    record = {
         "metric": "bev_tiles_per_sec_per_chip",
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/s",
@@ -100,7 +100,17 @@ def main():
         "vs_baseline": round(tiles_per_sec / BASELINE_4090_TILES_PER_SEC, 2),
         "projected_8chip_vs_baseline": round(
             tiles_per_sec * N_CHIPS_TARGET / BASELINE_4090_TILES_PER_SEC, 2),
-    }))
+    }
+    # end-to-end numbers (forward + decode + host tracker/NMS/semantics/
+    # render + JSON export) recorded by `tools/stream_map.py --bench-json`
+    # on this chip; see E2E_BENCH.json for the run's provenance
+    e2e_path = os.path.join(REPO, "E2E_BENCH.json")
+    if os.path.isfile(e2e_path):
+        with open(e2e_path) as f:
+            e2e = json.load(f)
+        record["e2e_tiles_per_sec_per_chip"] = e2e.get("value")
+        record["km_lane_per_hour"] = e2e.get("km_lane_per_hour")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

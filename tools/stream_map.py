@@ -76,6 +76,13 @@ def main():
     # uint8 — the PNG sources are uint8, so dividing by 255 on-device is
     # bit-identical to the host float path and cuts host->device traffic
     # 4x (~16 MB -> 4 MB per 1152px tile).
+    # inference dtype follows cfg.compute_dtype (bf16 on the flagship
+    # config, same as bench.py)
+    state = runner.state
+    if cfg.get("compute_dtype") == "bfloat16":
+        state = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, state)
     from lanemapping_tpu.engine.state import make_eval_step
     eval_step = make_eval_step(runner.model)
     fwd_dec = jax.jit(lambda state, proj_u8: decode_lanes(
@@ -118,11 +125,11 @@ def main():
 
     # warm the compile outside the timed region
     first = next(iter(loader))
-    fwd_dec(runner.state, jax.device_put(to_u8(first["proj"])))
+    fwd_dec(state, jax.device_put(to_u8(first["proj"])))
 
     t0 = time.time()
     for proj_u8, names in stream:
-        dec = fwd_dec(runner.state, jax.device_put(proj_u8))
+        dec = fwd_dec(state, jax.device_put(proj_u8))
         pending.append(pool.submit(postprocess, dec, names))
         n_tiles += len(proj_u8)
     for p in pending:

@@ -195,7 +195,9 @@ def decode_lanes(out: Dict, cfg) -> Dict:
         "prop_v_ext": prop_v_ext,
         "prop_cls_conf": cls_probs,
         "orient": orient_cls,
-        "bi_seg": bi_seg_weight,
+        "bi_seg_rows": bi_seg_weight[:, 3::8, :],  # [B,S,8S] anchor rows —
+        # the ONLY rows any host consumer reads (tracker thinning + NMS
+        # semantic lookups), so the full-res map never crosses the tunnel
         "semantic_seg": semantic_seg,
         "cls": corr_idx,
         "cls_exp": corr_exp,

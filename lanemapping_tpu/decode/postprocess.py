@@ -109,7 +109,8 @@ def smooth_lanes(out_cls: np.ndarray, orient: np.ndarray,
 
     ``out_cls``: [P,S] predicted columns (image scale, -1 = none).
     ``orient``:  [S,S] per-pixel orientation classes (downsampled grid).
-    ``seg_conf``: [1152,1152] lane-ness confidence for occupancy thinning.
+    ``seg_conf``: [S,1152] lane confidence at the S row anchors (rows 8r+3
+    of the full map — all the reference ever samples, `:246`).
     """
     n_line, n_v = out_cls.shape
     src = sort_left_to_right(out_cls)
@@ -120,7 +121,7 @@ def smooth_lanes(out_cls: np.ndarray, orient: np.ndarray,
         rows = np.nonzero(out_cls[i] > 0)[0]
         occ[rows, out_cls[i, rows].astype(int)] = 1
     if seg_conf is not None:
-        occ = thin_vertex_grid(occ, seg_conf[3:1152:8, :], half_k=4)
+        occ = thin_vertex_grid(occ, seg_conf, half_k=4)
 
     total = np.full_like(out_cls, -1.0)
     total_len = np.zeros(n_line)
@@ -232,7 +233,7 @@ def smooth_lanes(out_cls: np.ndarray, orient: np.ndarray,
 # 2. polyline NMS
 # --------------------------------------------------------------------------
 
-def _merge_pair(a: np.ndarray, b: np.ndarray, sem_map: np.ndarray) -> None:
+def _merge_pair(a: np.ndarray, b: np.ndarray, sem_rows: np.ndarray) -> None:
     """Vertex-level merge of two overlapping lines, in place
     (reference `lines_align:22-45` + the point-to-point pass `:92-137`)."""
     # align: make `a` the left line per-row; drop near-duplicate vertices
@@ -263,8 +264,8 @@ def _merge_pair(a: np.ndarray, b: np.ndarray, sem_map: np.ndarray) -> None:
                 last_b = vb
         else:  # both have vertices on this row
             if abs(vb - va) < NMS_DIST:
-                ra = sem_map[r * 8 + 3, int(va)]
-                rb = sem_map[r * 8 + 3, int(vb)]
+                ra = sem_rows[r, int(va)]
+                rb = sem_rows[r, int(vb)]
                 high = va if ra > rb else vb
                 if last_a is None and last_b is None:
                     a[r], b[r] = high, -1.0
@@ -281,9 +282,10 @@ def _merge_pair(a: np.ndarray, b: np.ndarray, sem_map: np.ndarray) -> None:
                 last_a, last_b = a[r], b[r]
 
 
-def polyline_nms(lines: np.ndarray, sem_map: np.ndarray) -> np.ndarray:
+def polyline_nms(lines: np.ndarray, sem_rows: np.ndarray) -> np.ndarray:
     """Merge overlapping polylines, then suppress near-duplicates keeping the
-    longer line (reference `polyline_NMS2:57-164`)."""
+    longer line (reference `polyline_NMS2:57-164`).  ``sem_rows``: [S,1152]
+    confidence at the row anchors."""
     n_line = len(lines)
     for i in range(n_line - 1):
         if np.count_nonzero(lines[i] > 0) < 2:
@@ -293,7 +295,7 @@ def polyline_nms(lines: np.ndarray, sem_map: np.ndarray) -> np.ndarray:
                 continue
             mn, _, _ = overlap_distance(lines[i], lines[j])
             if 0.0 <= mn < NMS_DIST:
-                _merge_pair(lines[i], lines[j], sem_map)
+                _merge_pair(lines[i], lines[j], sem_rows)
     lines = fill_gaps(lines)
 
     for i in range(n_line - 1):
@@ -497,15 +499,15 @@ def _smooth_dispatch(coors, orient, seg_conf, img):
                         complete_inner_nodes=True)
 
 
-def _nms_dispatch(lines, sem_map, img):
+def _nms_dispatch(lines, sem_rows, img):
     try:
         from ..native import polyline_nms_native
-        out = polyline_nms_native(lines, sem_map, img)
+        out = polyline_nms_native(lines, sem_rows, img)
         if out is not None:
             return out
     except Exception:
         pass
-    return polyline_nms(lines, sem_map)
+    return polyline_nms(lines, sem_rows)
 
 
 def _uniform_dispatch(ply, endp_map, ep, r_buff):
@@ -559,9 +561,11 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
         point_sem[rows * 8 + 3, coors[li_idx, rows].astype(int)] = \
             exist[li_idx, rows]
 
-        # float32 throughout: the native tracker/NMS take f32 maps, so no
-        # full-resolution float64 copies are made per tile
-        seg_conf = np.ascontiguousarray(dec["bi_seg"][b], dtype=np.float32)
+        # anchor-row confidence matrix [S,1152] — the decode ships only
+        # these rows (devices->host traffic), and native tracker/NMS take
+        # them as float32 directly
+        seg_conf = np.ascontiguousarray(dec["bi_seg_rows"][b],
+                                        dtype=np.float32)
         orient = np.array(dec["orient"][b], dtype=np.int64)
         smooth = _smooth_dispatch(coors, orient, seg_conf, img)
         smooth = _nms_dispatch(smooth, seg_conf, img)

@@ -79,7 +79,8 @@ def smooth_lanes_native(out_cls: np.ndarray, orient: np.ndarray,
                         seg_conf: Optional[np.ndarray],
                         complete_inner_nodes: bool = True,
                         img: int = 1152) -> Optional[np.ndarray]:
-    """Native tracker; returns None when the library is unavailable."""
+    """Native tracker; ``seg_conf`` is the [S, img] anchor-row confidence
+    matrix.  Returns None when the library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None

@@ -95,9 +95,11 @@ void lm_thin_vertex_grid(double* occ, const double* conf, int rows, int cols,
 
 // Greedy vertex-string tracker (parity with decode/postprocess.smooth_lanes).
 // out_cls: [n_line, n_v] raw columns; orient: [n_v, n_v] classes;
-// seg_conf: [img, img] or nullptr; result: [n_line, n_v].
+// conf_rows: [n_v, img] lane confidence at the row anchors (rows 8r+3 of
+// the full map — the only rows any consumer reads, so the device ships
+// just these) or nullptr; result: [n_line, n_v].
 void lm_smooth_lanes(const double* out_cls, const int32_t* orient,
-                     const float* seg_conf, int n_line, int n_v, int img,
+                     const float* conf_rows_f, int n_line, int n_v, int img,
                      int complete_inner, double* result) {
   std::vector<double> src(out_cls, out_cls + n_line * n_v);
   sort_left_to_right(src, n_line, n_v);
@@ -108,14 +110,9 @@ void lm_smooth_lanes(const double* out_cls, const int32_t* orient,
       double c = out_cls[i * n_v + r];
       if (c > 0) occ[r * img + (int)c] = 1.0;
     }
-  if (seg_conf) {
-    // float32 input (the decode ships f32 maps; converting only the n_v
-    // anchor rows here avoids a full-map float64 copy per tile)
+  if (conf_rows_f) {
     std::vector<double> conf_rows((size_t)n_v * img);
-    for (int r = 0; r < n_v; ++r) {
-      const float* srow = seg_conf + (size_t)(8 * r + 3) * img;
-      for (int c = 0; c < img; ++c) conf_rows[(size_t)r * img + c] = srow[c];
-    }
+    for (size_t k = 0; k < conf_rows.size(); ++k) conf_rows[k] = conf_rows_f[k];
     lm_thin_vertex_grid(occ.data(), conf_rows.data(), n_v, img, 4);
   }
 
@@ -237,7 +234,8 @@ void lm_smooth_lanes(const double* out_cls, const int32_t* orient,
 }
 
 // Polyline NMS (parity with decode/postprocess.polyline_nms).
-void lm_polyline_nms(double* lines, const float* sem_map, int n_line,
+// sem_rows: [n_v, img] confidence at the row anchors.
+void lm_polyline_nms(double* lines, const float* sem_rows, int n_line,
                      int n_v, int img) {
   auto count_pos = [&](int i) {
     int n = 0;
@@ -290,8 +288,8 @@ void lm_polyline_nms(double* lines, const float* sem_map, int n_line,
           } else { last_b = vb; has_last_b = true; }
         } else {
           if (std::fabs(vb - va) < kNmsDist) {
-            double ra = sem_map[(size_t)(r * 8 + 3) * img + (int)va];
-            double rb = sem_map[(size_t)(r * 8 + 3) * img + (int)vb];  // f32 promote
+            double ra = sem_rows[(size_t)r * img + (int)va];
+            double rb = sem_rows[(size_t)r * img + (int)vb];
             double high = ra > rb ? va : vb;
             if (!has_last_a && !has_last_b) {
               a[r] = high; b[r] = -1; last_a = a[r]; has_last_a = true;

@@ -136,8 +136,8 @@ def test_polyline_nms_suppresses_duplicates():
         lines[0, r] = 400.0
         lines[1, r] = 402.0  # near-duplicate of line 0
         lines[2, r] = 800.0  # distinct line survives
-    sem_map = np.ones((1152, 1152))
-    out = polyline_nms(lines.copy(), sem_map)
+    sem_rows = np.ones((144, 1152))
+    out = polyline_nms(lines.copy(), sem_rows)
     alive = [i for i in range(6) if np.count_nonzero(out[i] > 0) >= 2]
     assert len(alive) == 2
 

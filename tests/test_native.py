@@ -28,7 +28,7 @@ def _random_decode(seed, P=72, S=144, img=1152, n_lanes=3):
                 coors[p, r] = np.clip(base + drift * (r - r0)
                                       + rng.randn() * 1.0, 1, img - 2)
     orient = rng.randint(0, 11, (S, S)).astype(np.int64)
-    seg_conf = rng.rand(img, img)
+    seg_conf = rng.rand(144, img)  # anchor-row matrix [S, img]
     return coors, orient, seg_conf
 
 

@@ -231,9 +231,26 @@ class Runner:
                 self._tb.add_scalar(f"{tag}/{k}", v, step)
 
     # -- loops --------------------------------------------------------------
+
+    # label arrays with small integer ranges ship in the narrowest dtype
+    # (losses upcast on device); at batch 4 the f32 batch was ~210 MB and
+    # host->device bandwidth bounds the 1152px train step
+    _INT_SHIP = {"prop_bi_seg": np.uint8, "semantic_label_raw": np.uint8,
+                 "mask": np.uint8, "lc_orient": np.uint8,
+                 "prop_ext": np.uint8, "label": np.int16}
+    _BF16_SHIP = ("proj", "endp_map")  # only under bf16 training
+
     def _device_batch(self, batch: Dict) -> Dict:
-        db = {k: v for k, v in batch.items() if k in TRAIN_BATCH_KEYS
-              and not isinstance(v, list)}
+        db = {}
+        bf16 = self.cfg.get("train_compute_dtype") == "bfloat16"
+        for k, v in batch.items():
+            if k not in TRAIN_BATCH_KEYS or isinstance(v, list):
+                continue
+            if k in self._INT_SHIP:
+                v = np.asarray(v).astype(self._INT_SHIP[k])
+            elif bf16 and k in self._BF16_SHIP:
+                v = np.asarray(v).astype(jnp.bfloat16)
+            db[k] = v
         return shard_batch(db, self.mesh)
 
     def _eval_input(self, batch: Dict):

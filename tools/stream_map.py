@@ -100,6 +100,11 @@ def main():
         if not need_detail:
             keep.pop("cls", None)
             keep.pop("cls_exp", None)
+        # readback squeeze: the conf rows feed argmax comparisons only and
+        # orient is an 11-class id — half/byte precision loses nothing the
+        # host reads, and D2H through the tunnel measures ~15 MB/s
+        keep["bi_seg_rows"] = keep["bi_seg_rows"].astype(jnp.float16)
+        keep["orient"] = keep["orient"].astype(jnp.int8)
         return keep
 
     fwd_dec = jax.jit(fwd_dec_fn)

@@ -131,6 +131,19 @@ def decode_endpoints(endp_logits: jnp.ndarray, num_cls: int,
     return rep_coords, rep_valid
 
 
+# decode keys the host postprocess actually reads — device_get only these
+# (the full dict carries full-resolution maps that cost real time through
+# a tunnel-attached chip)
+HOST_DECODE_KEYS = ("prop_conf", "prop_v_ext", "cls_offset", "cls",
+                    "cls_exp", "orient", "bi_seg_rows", "endp_coords",
+                    "endp_valid", "endp_logits")
+
+
+def host_decode_view(dec: Dict) -> Dict:
+    """Subset of a decode dict consumed by `postprocess.lane_maps_from_decode`."""
+    return {k: v for k, v in dec.items() if k in HOST_DECODE_KEYS}
+
+
 def decode_lanes(out: Dict, cfg) -> Dict:
     """Full decode dict (reference `get_exist_coor_endp_dict`, `:602-759`)."""
     h = cfg.heads

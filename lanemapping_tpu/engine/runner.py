@@ -138,7 +138,9 @@ class Runner:
             if max_batches is not None and i >= max_batches:
                 break
             out = self._eval_step(self.state, self._eval_input(batch))
-            dec = _jax.device_get(decode_lanes(out, self.cfg))
+            from ..decode.lane_decode import host_decode_view
+            dec = _jax.device_get(host_decode_view(
+                decode_lanes(out, self.cfg)))
             maps = lane_maps_from_decode(dec, self.cfg)
             names = batch.get("image_name",
                               [f"b{i}_{j}" for j in
@@ -360,11 +362,13 @@ class Runner:
         coor_f1s, endp_f1s = [], []
         sem_counts = {"tp": 0, "n_pred": 0, "dg": 0, "n_gt": 0}
         saw_mask = False
+        from ..decode.lane_decode import host_decode_view
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
             out = self._eval_step(self.state, self._eval_input(batch))
-            dec = jax.device_get(decode_lanes(out, cfg))
+            # read back only what the host postprocess consumes
+            dec = jax.device_get(host_decode_view(decode_lanes(out, cfg)))
             maps = lane_maps_from_decode(dec, cfg)
             for b in range(batch["proj"].shape[0]):
                 label = batch["lc_coor_raw"][b]

@@ -48,7 +48,7 @@ def main():
     from lanemapping_tpu.engine.checkpoint import load_model
     from lanemapping_tpu.data.loader import Loader
     from lanemapping_tpu.registry import build_from_cfg, DATASETS
-    from lanemapping_tpu.decode.lane_decode import decode_lanes
+    from lanemapping_tpu.decode.lane_decode import decode_lanes, host_decode_view
     from lanemapping_tpu.decode.postprocess import lane_maps_from_decode
     from lanemapping_tpu.tools.export_lanes import lane_records
 
@@ -86,17 +86,15 @@ def main():
     from lanemapping_tpu.engine.state import make_eval_step
     eval_step = make_eval_step(runner.model)
     # only the keys the host postprocess consumes cross the tunnel; with
-    # anchor-row seg maps this is ~0.8 MB/tile of readback instead of the
-    # ~13 MB full decode dict (measured 2 -> 42 tiles/s end-to-end)
-    host_keys = ("prop_conf", "prop_v_ext", "cls_offset", "orient",
-                 "bi_seg_rows", "endp_coords", "endp_valid", "endp_logits",
-                 "cls", "cls_exp")
+    # anchor-row seg maps this is ~0.45 MB/tile of readback instead of the
+    # ~13 MB full decode dict (measured 1.98 -> 6.77 tiles/s end-to-end
+    # through the ~15 MB/s-down tunnel)
     need_detail = bool(cfg.get("view_detail", False))
 
     def fwd_dec_fn(state, proj_u8):
         dec = decode_lanes(
             eval_step(state, proj_u8.astype(jnp.float32) / 255.0), cfg)
-        keep = {k: v for k, v in dec.items() if k in host_keys}
+        keep = host_decode_view(dec)
         if not need_detail:
             keep.pop("cls", None)
             keep.pop("cls_exp", None)

@@ -119,3 +119,32 @@ def test_io_roundtrip(tmp_path):
     assert lens == [6, 4]
     np.testing.assert_allclose(loaded[0, :6], seqs[0])
     np.testing.assert_allclose(init_pts[1], seqs[1][0])
+
+
+def test_stream_map_multichip_cpu_mesh(tmp_path):
+    """stream_map shards the tile batch over the 8-device CPU mesh and
+    produces per-tile lane JSONs (the inference analogue of the pjit
+    training mesh)."""
+    import os
+    import subprocess
+    import sys
+
+    from lanemapping_tpu.data.synthetic import generate_dataset
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = str(tmp_path / "tiles")
+    generate_dataset(root, n_tiles=8, img=192, seed=17)
+    out = str(tmp_path / "map")
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "stream_map.py"),
+         os.path.join(repo, "configs", "tiny_test.py"), root,
+         "--out", out, "--split", "infer_only", "--batch", "8",
+         "--bench-json", "mesh_shape.data=-1"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "data-parallel over 8 devices" in r.stdout
+    jsons = os.listdir(os.path.join(out, "lanes_2d"))
+    assert len(jsons) == 8, jsons

@@ -38,12 +38,13 @@ def main():
                     help="decode all PNGs to RAM (uint8) before timing — "
                          "isolates the TPU+postprocess pipeline from host "
                          "PNG-decode throughput")
+    ap.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from lanemapping_tpu.config.config import Config
+    from lanemapping_tpu.config.config import Config, parse_dict_action
     from lanemapping_tpu.engine.runner import Runner
     from lanemapping_tpu.engine.checkpoint import load_model
     from lanemapping_tpu.data.loader import Loader
@@ -53,6 +54,8 @@ def main():
     from lanemapping_tpu.tools.export_lanes import lane_records
 
     cfg = Config.fromfile(args.config)
+    if args.overrides:
+        cfg.merge_from_dict(parse_dict_action(args.overrides))
     if args.batch:
         cfg.batch_size = args.batch
     for s in ("train", "val", "test"):
@@ -107,6 +110,28 @@ def main():
 
     fwd_dec = jax.jit(fwd_dec_fn)
 
+    # data-parallel tile streaming: the batch axis shards over every chip
+    # of the config's mesh (`mesh_shape`, default all local devices) and
+    # XLA runs the fused forward+decode SPMD — the inference analogue of
+    # the pjit training mesh
+    from lanemapping_tpu.parallel.mesh import batch_sharding, make_mesh, \
+        replicated
+    mesh = make_mesh(cfg)
+    n_dev = int(mesh.devices.size)
+    if n_dev > 1:
+        if cfg.batch_size % n_dev != 0:
+            raise SystemExit(f"--batch {cfg.batch_size} must divide over "
+                             f"{n_dev} devices")
+        state = jax.device_put(state, replicated(mesh))
+        in_shard = batch_sharding(mesh)
+        print(f"[stream_map] data-parallel over {n_dev} devices")
+    else:
+        in_shard = None
+
+    def put(proj_u8):
+        return jax.device_put(proj_u8, in_shard) if in_shard is not None \
+            else jax.device_put(proj_u8)
+
     def to_u8(proj):
         return np.rint(np.asarray(proj) * 255.0).astype(np.uint8)
 
@@ -144,11 +169,11 @@ def main():
 
     # warm the compile outside the timed region
     first = next(iter(loader))
-    fwd_dec(state, jax.device_put(to_u8(first["proj"])))
+    fwd_dec(state, put(to_u8(first["proj"])))
 
     t0 = time.time()
     for proj_u8, names in stream:
-        dec = fwd_dec(state, jax.device_put(proj_u8))
+        dec = fwd_dec(state, put(proj_u8))
         pending.append(pool.submit(postprocess, dec, names))
         n_tiles += len(proj_u8)
     for p in pending:

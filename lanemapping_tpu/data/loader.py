@@ -56,7 +56,9 @@ class Loader:
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last:
+        if self.drop_last or self.process_count > 1:
+            # multi-host always drops the ragged tail (every process must
+            # contribute an equal slice to the global array)
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
@@ -93,6 +95,17 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            # bounded put that re-checks stop: an abandoned iterator must
+            # not leave this thread blocked forever on a full queue
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 from concurrent.futures import ThreadPoolExecutor
@@ -102,11 +115,12 @@ class Loader:
                             break
                         samples = list(ex.map(
                             lambda i: self.dataset[int(i)], b))
-                        q.put(collate(samples))
+                        if not put_checked(collate(samples)):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_checked(e)
             finally:
-                q.put(None)
+                put_checked(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

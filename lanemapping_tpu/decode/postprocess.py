@@ -455,7 +455,10 @@ def render_semantic_map(ply: np.ndarray, img: int = 1152) -> np.ndarray:
     Vectorised: all segments are gathered at once and rasterised in groups
     of equal sample count (up to 72 lanes x 143 segments per 1152px tile
     made the per-segment loop a measurable host cost in the streaming
-    pipeline).  Pixel output is identical to the per-segment loop.
+    pipeline).  Occupancy is identical to the per-segment loop; the class
+    value where differently-labelled segments CROSS can differ, because
+    last-write-wins order is grouped by sample count here and by lane
+    order in the loop (itself arbitrary at crossings).
     """
     n_line, n_v, _ = ply.shape
     c0 = np.trunc(ply[:, :-1, 0])

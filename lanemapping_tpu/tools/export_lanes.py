@@ -43,7 +43,7 @@ def export_lane_seqs(runner, loader, out_dir: str, max_batches=None):
     for i, batch in enumerate(loader):
         if max_batches is not None and i >= max_batches:
             break
-        out = runner._eval_step(runner.state, jax.device_put(batch["proj"]))
+        out = runner._eval_step(runner.state, runner._eval_input(batch))
         dec = jax.device_get(host_decode_view(decode_lanes(out, runner.cfg)))
         maps = lane_maps_from_decode(dec, runner.cfg)
         names = batch.get("image_name",

@@ -94,9 +94,15 @@ def main():
     # through the ~15 MB/s-down tunnel)
     need_detail = bool(cfg.get("view_detail", False))
 
+    compute_dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" \
+        else jnp.float32
+
     def fwd_dec_fn(state, proj_u8):
-        dec = decode_lanes(
-            eval_step(state, proj_u8.astype(jnp.float32) / 255.0), cfg)
+        # normalize in f32 (exact /255), then drop to the compute dtype so
+        # the network actually runs bf16 like bench.py (f32 input + bf16
+        # kernels would silently promote every layer back to f32)
+        x = (proj_u8.astype(jnp.float32) / 255.0).astype(compute_dtype)
+        dec = decode_lanes(eval_step(state, x), cfg)
         keep = host_decode_view(dec)
         if not need_detail:
             keep.pop("cls", None)
@@ -129,6 +135,13 @@ def main():
         in_shard = None
 
     def put(proj_u8):
+        # pad ragged final batches to the full batch size: keeps the data
+        # sharding divisible over the mesh and avoids a recompile inside
+        # the timed region (padded tiles are decoded and discarded)
+        if len(proj_u8) < cfg.batch_size:
+            pad = np.zeros((cfg.batch_size - len(proj_u8),)
+                           + proj_u8.shape[1:], proj_u8.dtype)
+            proj_u8 = np.concatenate([proj_u8, pad], axis=0)
         return jax.device_put(proj_u8, in_shard) if in_shard is not None \
             else jax.device_put(proj_u8)
 
@@ -138,52 +151,59 @@ def main():
     pool = ThreadPoolExecutor(6)
     pending = []
     n_tiles = 0
-    lane_px = [0.0]
 
     def postprocess(dec_dev, names):
         # device->host readback inside the worker so the main loop keeps
-        # the chip fed; tracker/NMS/semantics/render follow on this thread
+        # the chip fed; tracker/NMS/semantics/render follow on this thread.
+        # Returns this batch's polyline arc length in px (summed by the
+        # main thread — workers must not share a counter).
         dec_host = jax.device_get(dec_dev)
         maps = lane_maps_from_decode(dec_host, cfg)
+        px = 0.0
         for j, name in enumerate(names):
             recs = lane_records(maps["cls_offset_smooth"][j])
             for rec in recs:
                 seq = np.asarray(rec["seq"], np.float64)[:, :2]  # (row, col)
                 if len(seq) > 1:
                     d = np.diff(seq, axis=0)
-                    lane_px[0] += float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+                    px += float(np.sum(np.hypot(d[:, 0], d[:, 1])))
             with open(os.path.join(lanes_dir, f"{name}.json"), "w") as f:
                 json.dump(recs, f)
+        return px
 
-    if args.preload:
-        batches = []
-        for i, batch in enumerate(loader):
+    def batch_stream():
+        for i, b in enumerate(loader):
             if args.max_batches is not None and i >= args.max_batches:
                 break
-            batches.append((to_u8(batch["proj"]), batch["image_name"]))
-        stream = iter(batches)
-    else:
-        stream = ((to_u8(b["proj"]), b["image_name"]) for i, b in
-                  enumerate(loader)
-                  if args.max_batches is None or i < args.max_batches)
+            yield to_u8(b["proj"]), b["image_name"]
 
-    # warm the compile outside the timed region
-    first = next(iter(loader))
-    fwd_dec(state, put(to_u8(first["proj"])))
+    if args.preload:
+        stream = iter(list(batch_stream()))
+    else:
+        stream = batch_stream()
+
+    # warm the compile outside the timed region with the stream's own first
+    # batch (no second loader iterator left blocked in its prefetch queue);
+    # the batch is then processed normally inside the timed loop
+    head = next(stream, None)
+    if head is None:
+        raise SystemExit("[stream_map] no tiles to process")
+    fwd_dec(state, put(head[0]))
+    import itertools
+    stream = itertools.chain([head], stream)
 
     t0 = time.time()
     for proj_u8, names in stream:
         dec = fwd_dec(state, put(proj_u8))
         pending.append(pool.submit(postprocess, dec, names))
-        n_tiles += len(proj_u8)
-    for p in pending:
-        p.result()
+        n_tiles += len(names)
+    lane_px_total = sum(p.result() for p in pending)
     dt = time.time() - t0
     tiles_s = n_tiles / max(dt, 1e-9)
     # km of lane line produced per hour: polyline arc length in px * the
     # dataset's 0.05 m/px BEV resolution (reference io_utils img_reso)
     m_per_px = cfg.get("img_reso", 0.05)
-    km_lane_h = lane_px[0] * m_per_px / 1000.0 / max(dt, 1e-9) * 3600.0
+    km_lane_h = lane_px_total * m_per_px / 1000.0 / max(dt, 1e-9) * 3600.0
     print(f"[stream_map] {n_tiles} tiles in {dt:.1f}s "
           f"({tiles_s:.2f} tiles/s end-to-end, "
           f"{km_lane_h:.1f} km-lane/hour)")

@@ -198,11 +198,10 @@ class Runner:
                         out_dir, f"{names[b]}_segmentor.png"))
                     Image.fromarray(skel_img).save(os.path.join(
                         out_dir, f"{names[b]}_seg_skeleton.png"))
+        from ..utils.metrics import prf_from_counts
         metrics = {}
         for key, c in counts.items():
-            acc = c["tp"] / c["n_pred"] if c["n_pred"] else 0.0
-            rec = c["dg"] / c["n_gt"] if c["n_gt"] else 0.0
-            f1 = 2 * acc * rec / (acc + rec) if (acc + rec) > 0 else 0.0
+            acc, rec, f1 = prf_from_counts(**c)
             metrics.update({f"{key}_conf_prec": acc, f"{key}_conf_rec": rec,
                             f"{key}_conf_f1": f1})
         self._log("segmentor_infer", metrics)
@@ -249,9 +248,9 @@ class Runner:
             if k not in TRAIN_BATCH_KEYS or isinstance(v, list):
                 continue
             if k in self._INT_SHIP:
-                v = np.asarray(v).astype(self._INT_SHIP[k])
+                v = np.asarray(v).astype(self._INT_SHIP[k], copy=False)
             elif bf16 and k in self._BF16_SHIP:
-                v = np.asarray(v).astype(jnp.bfloat16)
+                v = np.asarray(v).astype(jnp.bfloat16, copy=False)
             db[k] = v
         return shard_batch(db, self.mesh)
 
@@ -401,12 +400,9 @@ class Runner:
         metrics = {"coor_f1": coor, "endp_f1": endp,
                    "composite": 0.9 * coor + 0.1 * endp}
         if saw_mask:
-            acc = sem_counts["tp"] / sem_counts["n_pred"] \
-                if sem_counts["n_pred"] else 0.0
-            rec = sem_counts["dg"] / sem_counts["n_gt"] \
-                if sem_counts["n_gt"] else 0.0
-            metrics["semantic_f1"] = 2 * acc * rec / (acc + rec) \
-                if (acc + rec) > 0 else 0.0
+            from ..utils.metrics import prf_from_counts
+            acc, rec, f1 = prf_from_counts(**sem_counts)
+            metrics["semantic_f1"] = f1
             metrics["semantic_acc"] = acc
             metrics["semantic_recall"] = rec
         return metrics

@@ -227,6 +227,11 @@ class ColumnProposalHead(nn.Module):
         B, S, _, F_ = x.shape
         P = self.num_prop
         k = max(1, int(np.log2(max(1, S // P))))  # stride-2 stages: S -> P
+        if P << k != S:
+            raise ValueError(
+                f"column_att needs row_size to be num_prop * 2^k "
+                f"(reference supports num_prop in {{72,36,18}} at S=144); "
+                f"got S={S}, P={P}")
         hidden = tuple(F_ * (2 ** i) for i in range(1, k))
         out_ch = F_ * (2 ** k)
         fd = ConvPoolStack(F_, hidden, out_ch,

@@ -14,6 +14,15 @@ import numpy as np
 EPS = 1e-16
 
 
+def prf_from_counts(tp: int, n_pred: int, dg: int, n_gt: int):
+    """(precision, recall, F1) from pooled bidirectional match counts with
+    the zero-denominator guards shared by every metric family."""
+    acc = tp / n_pred if n_pred else 0.0
+    recall = dg / n_gt if n_gt else 0.0
+    f1 = 2 * acc * recall / (acc + recall) if (acc + recall) > 0 else 0.0
+    return acc, recall, f1
+
+
 def _buffered_hits(src: np.ndarray, ref: np.ndarray, buffer_px: float,
                    img_w: int):
     """For every positive vertex in ``src`` [N,S]: does any ``ref`` lane have
@@ -63,9 +72,7 @@ def _kdtree_prf(pred_pts: np.ndarray, gt_pts: np.ndarray,
         n_gt = len(gt_pts)
     elif len(pred_pts):
         n_pred = len(pred_pts)
-    acc = tp / n_pred if n_pred else 0.0
-    recall = dg / n_gt if n_gt else 0.0
-    f1 = 2 * acc * recall / (acc + recall) if (acc + recall) > 0 else 0.0
+    acc, recall, f1 = prf_from_counts(tp, n_pred, dg, n_gt)
     return {"acc": acc, "recall": recall, "f1": f1, "tp": tp,
             "n_pred": n_pred, "dg": dg, "n_gt": n_gt}
 
@@ -87,9 +94,7 @@ def eval_metric_line_segmentor(seg_result: np.ndarray, mask: np.ndarray,
                         buffer_px)
         for k in agg:
             agg[k] += m[k]
-    acc = agg["tp"] / agg["n_pred"] if agg["n_pred"] else 0.0
-    recall = agg["dg"] / agg["n_gt"] if agg["n_gt"] else 0.0
-    f1 = 2 * acc * recall / (acc + recall) if (acc + recall) > 0 else 0.0
+    acc, recall, f1 = prf_from_counts(**agg)
     return {"acc": acc, "recall": recall, "f1": f1, **agg}
 
 

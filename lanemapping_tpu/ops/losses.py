@@ -41,10 +41,17 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray,
 
 def cross_entropy_with_int_labels(logits: jnp.ndarray,
                                   labels: jnp.ndarray) -> jnp.ndarray:
-    """Elementwise -log p[label]; logits [..., C], labels [...] int."""
+    """Elementwise -log p[label]; logits [..., C], labels [...] int.
+
+    One-hot contraction instead of take_along_axis: on TPU a gather over a
+    full-resolution map lowers to a serial kernel (profiled at 78 ms/step,
+    25% of the flagship train step, for the 4x1152x1152x3 semantic CE),
+    while the one-hot multiply-sum is a fused vector op.
+    """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    return -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+    return -jnp.sum(logp * onehot, axis=-1)
 
 
 def masked_sum(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -34,7 +34,10 @@ def window_expectation(cls_probs: jnp.ndarray) -> jnp.ndarray:
     j = idx[..., None] + offs  # [..., 5]
     valid = (j >= 0) & (j <= W - 2)  # right bound exclusive at W-1
     jc = jnp.clip(j, 0, W - 1)
-    p = jnp.take_along_axis(cls_probs, jc, axis=-1)
+    # one-hot contraction instead of take_along_axis (TPU gathers are
+    # serial; the window is only W wide)
+    p = jnp.einsum("...jw,...w->...j",
+                   jax.nn.one_hot(jc, W, dtype=cls_probs.dtype), cls_probs)
     p = jnp.where(valid, p, -jnp.inf)
     pw = jax.nn.softmax(p, axis=-1)
     pw = jnp.where(valid, pw, 0.0)
@@ -168,8 +171,10 @@ def decode_lanes(out: Dict, cfg) -> Dict:
     cls_probs = jax.nn.softmax(out["cls2"].astype(jnp.float32), -1)
     cls_max = jnp.argmax(cls_probs, axis=-1)  # [B,P,S]
     corr_exp = window_expectation(cls_probs)
-    off_at_max = jnp.take_along_axis(
-        out["offset2"].astype(jnp.float32), cls_max[..., None], axis=-1)[..., 0]
+    # one-hot contraction (TPU-friendly) == take_along_axis at the argmax
+    off_at_max = jnp.sum(
+        out["offset2"].astype(jnp.float32)
+        * jax.nn.one_hot(cls_max, out["offset2"].shape[-1]), axis=-1)
     corr_offset = cls_max.astype(jnp.float32) + off_at_max
     corr_idx = cls_max.astype(jnp.float32)
 

@@ -157,11 +157,20 @@ def decode_lanes(out: Dict, cfg) -> Dict:
     prop_conf = jax.nn.softmax(out["proposal_conf"].astype(jnp.float32), -1)
     orient_cls = jnp.argmax(out["orient"], axis=-1)  # [B,S,S]
 
-    sem = jax.nn.softmax(out["semantic_seg"].astype(jnp.float32), -1)
-    p1, p2 = sem[..., 1], sem[..., 2]
-    semantic_seg = jnp.where((p1 > p2) & (p1 > coor_thre), 1,
-                             jnp.where((p2 > p1) & (p2 > coor_thre), 2, 0))
-    bi_seg_weight = p1 + p2  # [B,8S,8S]
+    # anchor rows are all the host postprocess ever reads; the full-res
+    # thresholded class map (reference arr_semantic_seg) is only built when
+    # a visualization flag asks for it — softmax over the 8S x 8S x 3 map
+    # is pure wasted compute otherwise
+    sem_rows = jax.nn.softmax(
+        out["semantic_seg"][:, 3::8, :, :].astype(jnp.float32), -1)
+    bi_seg_rows = sem_rows[..., 1] + sem_rows[..., 2]  # [B,S,8S]
+    sem_extra = {}
+    if cfg.get("show_result", False) or cfg.get("view_detail", False):
+        sem = jax.nn.softmax(out["semantic_seg"].astype(jnp.float32), -1)
+        p1, p2 = sem[..., 1], sem[..., 2]
+        sem_extra["semantic_seg"] = jnp.where(
+            (p1 > p2) & (p1 > coor_thre), 1,
+            jnp.where((p2 > p1) & (p2 > coor_thre), 2, 0))
 
     ext = jax.nn.softmax(out["ext2"].astype(jnp.float32), -1)
     e1, e2 = ext[..., 1], ext[..., 2]
@@ -209,14 +218,13 @@ def decode_lanes(out: Dict, cfg) -> Dict:
 
     return {
         **endp_extra,
+        **sem_extra,
         "prop_conf": prop_conf,
         "prop_v_ext": prop_v_ext,
         "prop_cls_conf": cls_probs,
         "orient": orient_cls,
-        "bi_seg_rows": bi_seg_weight[:, 3::8, :],  # [B,S,8S] anchor rows —
-        # the ONLY rows any host consumer reads (tracker thinning + NMS
-        # semantic lookups), so the full-res map never crosses the tunnel
-        "semantic_seg": semantic_seg,
+        "bi_seg_rows": bi_seg_rows,  # [B,S,8S] anchor rows — the ONLY rows
+        # any host consumer reads (tracker thinning + NMS semantic lookups)
         "cls": corr_idx,
         "cls_exp": corr_exp,
         "cls_offset": corr_offset,

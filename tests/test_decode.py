@@ -100,7 +100,13 @@ def test_decode_lanes_shapes(tiny_cfg):
     dec = jax.jit(lambda o: decode_lanes(o, cfg))(out)
     assert dec["cls_offset"].shape == (B, P, S)
     assert dec["prop_v_ext"].shape == (B, P, S)
-    assert dec["semantic_seg"].shape == (B, img, img)
+    assert dec["bi_seg_rows"].shape == (B, S, img)
+    # the full-res thresholded class map is built only for visualization
+    assert "semantic_seg" not in dec
+    cfg.view_detail = True
+    dec_v = jax.jit(lambda o: decode_lanes(o, cfg))(out)
+    assert dec_v["semantic_seg"].shape == (B, img, img)
+    cfg.view_detail = False
     assert dec["endp_coords"].shape[0] == B
     # coordinates live in feature scale [-half_buff, S + half_buff]
     assert float(jnp.max(dec["cls_offset"])) <= S + W

@@ -96,12 +96,17 @@ def main():
 
     compute_dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" \
         else jnp.float32
+    use_lidar = bool(cfg.get("use_lidar", False))
 
-    def fwd_dec_fn(state, proj_u8):
-        # normalize in f32 (exact /255), then drop to the compute dtype so
-        # the network actually runs bf16 like bench.py (f32 input + bf16
-        # kernels would silently promote every layer back to f32)
-        x = (proj_u8.astype(jnp.float32) / 255.0).astype(compute_dtype)
+    def fwd_dec_fn(state, inp):
+        if use_lidar:
+            # raw-point streaming: padded static point buffers + mask
+            x = {"points": inp["points"], "points_mask": inp["points_mask"]}
+        else:
+            # normalize in f32 (exact /255), then drop to the compute dtype
+            # so the network actually runs bf16 like bench.py (f32 input +
+            # bf16 kernels would silently promote every layer back to f32)
+            x = (inp.astype(jnp.float32) / 255.0).astype(compute_dtype)
         dec = decode_lanes(eval_step(state, x), cfg)
         keep = host_decode_view(dec)
         if not need_detail:
@@ -134,19 +139,28 @@ def main():
     else:
         in_shard = None
 
-    def put(proj_u8):
+    def _pad(a):
         # pad ragged final batches to the full batch size: keeps the data
         # sharding divisible over the mesh and avoids a recompile inside
         # the timed region (padded tiles are decoded and discarded)
-        if len(proj_u8) < cfg.batch_size:
-            pad = np.zeros((cfg.batch_size - len(proj_u8),)
-                           + proj_u8.shape[1:], proj_u8.dtype)
-            proj_u8 = np.concatenate([proj_u8, pad], axis=0)
-        return jax.device_put(proj_u8, in_shard) if in_shard is not None \
-            else jax.device_put(proj_u8)
+        if len(a) < cfg.batch_size:
+            pad = np.zeros((cfg.batch_size - len(a),) + a.shape[1:], a.dtype)
+            a = np.concatenate([a, pad], axis=0)
+        return a
+
+    def put(inp):
+        inp = jax.tree.map(_pad, inp)
+        return jax.device_put(inp, in_shard) if in_shard is not None \
+            else jax.device_put(inp)
 
     def to_u8(proj):
         return np.rint(np.asarray(proj) * 255.0).astype(np.uint8)
+
+    def to_input(batch):
+        if use_lidar:
+            return {"points": np.asarray(batch["points"], np.float32),
+                    "points_mask": np.asarray(batch["points_mask"])}
+        return to_u8(batch["proj"])
 
     pool = ThreadPoolExecutor(6)
     pending = []
@@ -175,7 +189,7 @@ def main():
         for i, b in enumerate(loader):
             if args.max_batches is not None and i >= args.max_batches:
                 break
-            yield to_u8(b["proj"]), b["image_name"]
+            yield to_input(b), b["image_name"]
 
     if args.preload:
         stream = iter(list(batch_stream()))

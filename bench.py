@@ -35,6 +35,124 @@ sys.path.insert(0, REPO)
 
 BASELINE_4090_TILES_PER_SEC = 25.0
 N_CHIPS_TARGET = 8
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
+
+
+def main_train():
+    """`bench.py --train`: full-size training-step benchmark as an artifact
+    (VERDICT r2 #4).  fori_loop over the jitted train step with a
+    device-resident batch (same measurement discipline as the inference
+    bench), plus train-MFU from the compiled step's cost_analysis."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lanemapping_tpu.config.config import Config
+    from lanemapping_tpu.engine.optimizer import build_optimizer
+    from lanemapping_tpu.engine.state import create_train_state, \
+        make_train_step
+    from lanemapping_tpu.models.head_losses import (column_proposal_loss,
+                                                    head_hparams)
+    from lanemapping_tpu.models.nets import build_model
+
+    cfg = Config.fromfile(os.path.join(REPO, "configs",
+                                       "Proj_polyline_fpn_vit_vertex_2.py"))
+    # hardware-run training shape (ARCHITECTURE.md round-2 run)
+    cfg.train_compute_dtype = "bfloat16"
+    cfg.remat = True
+    fused = os.environ.get("BENCH_FUSED_SEG", "1") == "1"
+    cfg.fused_seg_focal = fused
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
+    img = cfg.list_img_size_xy[0]
+    S, P = cfg.heads.row_size, cfg.heads.num_prop
+    W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff
+
+    model = build_model(cfg)
+    tx = build_optimizer(cfg)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, img, img, 3), jnp.float32))
+    hp = head_hparams(cfg)
+    step = jax.jit(
+        make_train_step(model, tx,
+                        lambda out, b: column_proposal_loss(out, b, hp),
+                        compute_dtype=jnp.bfloat16),
+        donate_argnums=(0,))
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "proj": rng.rand(B, img, img, 3).astype(jnp.bfloat16),
+        "prop_ext": rng.randint(0, 3, (B, P, S)).astype(np.uint8),
+        "prop_coor": rng.uniform(-1, W, (B, P, S)).astype(np.float32),
+        "prop_offset": rng.randn(B, P, S, W).astype(np.float32),
+        "prop_offset_mask": rng.randint(0, 2, (B, P, S, W)).astype(
+            np.float32),
+        "lc_orient": rng.randint(0, 11, (B, S, S)).astype(np.uint8),
+        "semantic_label_raw": rng.randint(0, 3, (B, img, img)).astype(
+            np.uint8),
+        "endp_map": np.where(rng.rand(B, img, img) > 0.999,
+                             rng.rand(B, img, img), 0).astype(jnp.bfloat16),
+    }
+    if fused:
+        batch["prop_inst"] = np.where(
+            rng.rand(B, img, img) < 0.01,
+            rng.randint(0, 12, (B, img, img)), 255).astype(np.uint8)
+        batch["prop_best"] = rng.randint(0, 12, (B, P)).astype(np.uint8)
+    else:
+        batch["prop_bi_seg"] = rng.randint(
+            0, 2, (B, P, img, 8 * W)).astype(np.uint8)
+    batch = jax.device_put(batch)
+
+    # FLOPs of one compiled step (XLA cost model; includes fwd+bwd+opt)
+    lowered = jax.jit(
+        make_train_step(model, tx,
+                        lambda out, b: column_proposal_loss(out, b, hp),
+                        compute_dtype=jnp.bfloat16)).lower(
+        state, batch, jax.random.PRNGKey(1))
+    try:
+        cost = lowered.compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        step_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        step_flops = 0.0
+
+    def loop(n):
+        @jax.jit
+        def run(state, rng_key):
+            def body(i, carry):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                st, _ = step(st, batch, sub)
+                return st, key
+            st, _ = jax.lax.fori_loop(0, n, body, (state, rng_key))
+            # array readback forces completion on axon
+            return st.params["heads"]["proposal_confidence"]["bias"]
+        return run
+
+    n1 = int(os.environ.get("BENCH_TRAIN_ITERS", "4"))
+    n2 = 2 * n1
+    run1, run2 = loop(n1), loop(n2)
+
+    def timed(run):
+        r = np.asarray(run(state, jax.random.PRNGKey(2)))
+        t0 = time.perf_counter()
+        r = np.asarray(run(state, jax.random.PRNGKey(2)))
+        assert np.all(np.isfinite(r))
+        return time.perf_counter() - t0
+
+    t1, t2 = timed(run1), timed(run2)
+    sec_per_step = (t2 - t1) / (n2 - n1)
+    mfu = (step_flops / max(sec_per_step, 1e-9)) / V5E_BF16_PEAK_FLOPS \
+        if step_flops else None
+    print(json.dumps({
+        "metric": "train_sec_per_step",
+        "value": round(sec_per_step, 4),
+        "unit": "s/step",
+        "batch": B,
+        "img": img,
+        "fused_seg_focal": fused,
+        "step_flops": step_flops,
+        "train_mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
+        "tiles_per_sec_train": round(B / max(sec_per_step, 1e-9), 2),
+    }))
 
 
 def main():
@@ -109,16 +227,27 @@ def main():
         with open(e2e_path) as f:
             e2e = json.load(f)
         record["e2e_tiles_per_sec_per_chip"] = e2e.get("value")
-        record["km_lane_per_hour"] = e2e.get("km_lane_per_hour")
+        # headline km-lane/hour is the TRAINED-checkpoint rate (real decoded
+        # lanes); the random-weights figure only measures pipeline throughput
+        # and is kept under an explicitly-labelled proxy key
+        trained = e2e.get("trained_ckpt_run", {})
+        if trained.get("km_lane_per_hour") is not None:
+            record["km_lane_per_hour"] = trained["km_lane_per_hour"]
+            record["km_lane_per_hour_throughput_proxy"] = \
+                e2e.get("km_lane_per_hour")
+        else:
+            record["km_lane_per_hour_throughput_proxy"] = \
+                e2e.get("km_lane_per_hour")
     print(json.dumps(record))
 
 
 if __name__ == "__main__":
+    entry = main_train if "--train" in sys.argv else main
     # The remote TPU tunnel occasionally drops a dispatch (observed ~1/10
     # runs); one retry keeps the driver's benchmark record robust.
     try:
-        main()
+        entry()
     except Exception as e:
         print(f"[bench] first attempt failed ({type(e).__name__}); retrying",
               file=sys.stderr)
-        main()
+        entry()

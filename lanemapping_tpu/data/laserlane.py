@@ -195,7 +195,9 @@ class LaserLaneProposal:
             n_cls=cfg.number_lanes, row_size=cfg.heads.row_size,
             ds=cfg.gt_downsample_ratio, num_prop=cfg.heads.num_prop,
             prop_width=cfg.heads.prop_width,
-            half_buff=cfg.heads.prop_half_buff))
+            half_buff=cfg.heads.prop_half_buff,
+            # fused seg-focal derives the windowed bi-seg GT on device
+            emit_full_bi_seg=not cfg.get("fused_seg_focal", True)))
         if self.mode != "train":
             sample["initp"] = initp.astype(np.float32)
             sample["endp"] = endp.astype(np.float32)

@@ -66,9 +66,14 @@ def lane_line_maps(inst: np.ndarray, n_cls: int, row_size: int, ds: int,
 
 
 def merge_touching_lanes(ext, coor, offset, offset_mask, bi_seg,
-                         init_pts, term_pts):
+                         init_pts, term_pts, inst=None):
     """Merge lane j into lane i when j's start touches i's end
-    (reference `:334-367`).  Mutates all inputs in place."""
+    (reference `:334-367`).  Mutates all inputs in place.
+
+    ``bi_seg`` may be None when the per-lane binary maps aren't needed
+    (fused seg-focal path); ``inst`` is an optional [H,H] id map relabelled
+    j->i at each merge so ``inst == lane_id`` stays equal to the merged
+    per-lane map (bi_seg[i] |= bi_seg[j]; bi_seg[j] = 0)."""
     n_cls = ext.shape[0]
     for i in range(n_cls):
         e1 = term_pts[i]
@@ -85,14 +90,17 @@ def merge_touching_lanes(ext, coor, offset, offset_mask, bi_seg,
                 coor[i, rows] = coor[j, rows]
                 offset[i, rows] = offset[j, rows]
                 offset_mask[i, rows] = offset_mask[j, rows]
-                bi_seg[i] |= bi_seg[j]
                 ext[j, rows] = 0
                 coor[j, rows] = -1
                 offset[j, rows] = 0
                 offset_mask[j, rows] = 0
                 init_pts[j] = 0
                 term_pts[j] = 0
-                bi_seg[j] = 0
+                if bi_seg is not None:
+                    bi_seg[i] |= bi_seg[j]
+                    bi_seg[j] = 0
+                if inst is not None:
+                    inst[inst == j] = i
 
 
 def assign_proposals(coor: np.ndarray, num_prop: int, prop_width: int,
@@ -117,12 +125,20 @@ def build_proposal_gt(inst_raw: np.ndarray, mask: np.ndarray,
                       init_pts: np.ndarray, term_pts: np.ndarray,
                       semantic: np.ndarray, *, n_cls: int, row_size: int,
                       ds: int, num_prop: int, prop_width: int,
-                      half_buff: int) -> Dict[str, np.ndarray]:
+                      half_buff: int,
+                      emit_full_bi_seg: bool = True) -> Dict[str, np.ndarray]:
     """Full per-tile GT dict (reference `format_gt_column_proposal`,
     `laserlane_proposals.py:102-252`).
 
     ``inst_raw``: [H,H] ids 0..n_cls-1 with background 255 (post-remap).
     ``init_pts``/``term_pts``: [L,2] raw (row,col), zero for empty slots.
+
+    ``emit_full_bi_seg``: build the windowed ``prop_bi_seg`` [P,H,W*ds]
+    explicitly (reference layout).  With the fused seg-focal loss
+    (``cfg.fused_seg_focal``) the same GT is derived ON DEVICE from the
+    merged instance map ``prop_inst`` + per-proposal lane id ``prop_best``
+    (`models/head_losses.py:_fused_prop_seg_focal`) — skipping a ~6.6 MB
+    windowed gather per tile here and a ~6.6 MB/tile host->device upload.
     """
     S, P, pw, hb = row_size, num_prop, prop_width, half_buff
     W = pw + 2 * hb
@@ -130,23 +146,25 @@ def build_proposal_gt(inst_raw: np.ndarray, mask: np.ndarray,
 
     ext, coor, offset, offset_mask, orient = lane_line_maps(
         inst_raw, n_cls, S, ds, ori_raw, semantic)
-    bi_seg = np.zeros((n_cls, H, H), dtype=np.uint8)
-    for c in range(n_cls):
-        bi_seg[c] = inst_raw == c
+    inst_merged = inst_raw.copy()
+    if emit_full_bi_seg:
+        bi_seg = np.zeros((n_cls, H, H), dtype=np.uint8)
+        for c in range(n_cls):
+            bi_seg[c] = inst_raw == c
+    else:
+        bi_seg = None
 
     init_pts = np.array(init_pts, dtype=np.float64).copy()
     term_pts = np.array(term_pts, dtype=np.float64).copy()
     merge_touching_lanes(ext, coor, offset, offset_mask, bi_seg,
-                         init_pts, term_pts)
+                         init_pts, term_pts, inst=inst_merged)
 
     best = assign_proposals(coor, P, pw, hb)  # [P]
 
     # padded gathers for the per-proposal windows (reference `:198-228`)
     offset_pad = np.pad(offset, ((0, 0), (0, 0), (hb, hb)))
     offmask_pad = np.pad(offset_mask, ((0, 0), (0, 0), (hb, hb)))
-    biseg_pad = np.pad(bi_seg, ((0, 0), (0, 0), (hb * ds, hb * ds)))
     win = pw * np.arange(P)[:, None] + np.arange(W)[None, :]  # [P,W]
-    win_raw = (ds * pw) * np.arange(P)[:, None] + np.arange(W * ds)[None, :]
 
     gt_exist = ext[best]                                     # [P,S]
     col_base = (pw * np.arange(P) - hb)[:, None]
@@ -157,21 +175,27 @@ def build_proposal_gt(inst_raw: np.ndarray, mask: np.ndarray,
     gt_offset_mask = offmask_pad[best[:, None, None],
                                  np.arange(S)[None, :, None],
                                  win[:, None, :]]
-    gt_bi_seg = biseg_pad[best[:, None, None],
-                          np.arange(H)[None, :, None],
-                          win_raw[:, None, :]]               # [P,H,W*ds]
 
     coor_scaled = np.where(coor > -1.0, coor * ds, coor)
 
-    return {
+    out = {
         "prop_obj": np.zeros((P, 2), np.float32),
         "prop_ext": gt_exist.astype(np.float32),
         "prop_coor": gt_coors.astype(np.float32),
         "prop_offset": gt_offset.astype(np.float32),
         "prop_offset_mask": gt_offset_mask.astype(np.float32),
-        "prop_bi_seg": gt_bi_seg.astype(np.uint8),
+        "prop_inst": inst_merged.astype(np.uint8),
+        "prop_best": best.astype(np.uint8),
         "lc_orient": orient.astype(np.int32),
         "lc_coor_raw": coor_scaled.astype(np.float32),
         "semantic_label_raw": mask.astype(np.uint8),
         "endp_map": endp_map.astype(np.float32),
     }
+    if emit_full_bi_seg:
+        biseg_pad = np.pad(bi_seg, ((0, 0), (0, 0), (hb * ds, hb * ds)))
+        win_raw = (ds * pw) * np.arange(P)[:, None] \
+            + np.arange(W * ds)[None, :]
+        out["prop_bi_seg"] = biseg_pad[best[:, None, None],
+                                       np.arange(H)[None, :, None],
+                                       win_raw[:, None, :]].astype(np.uint8)
+    return out

@@ -74,12 +74,28 @@ def fill_gaps(lines: np.ndarray) -> np.ndarray:
 
 
 def thin_vertex_grid(occ: np.ndarray, conf: np.ndarray,
-                     half_k: int = 4) -> np.ndarray:
+                     half_k: int = 4,
+                     first_row_only: bool = False) -> np.ndarray:
     """Keep only the max-confidence vertex inside each 2*half_k column window
     (reference `occupancy_filter:200-220` — note the reference's early
     ``return`` inside the row loop makes it a single-row filter; we apply the
-    window over every row, the evidently intended behaviour)."""
+    window over every row, the evidently intended behaviour).
+
+    ``first_row_only=True`` (cfg ``ref_exact_occupancy_filter``) transcribes
+    the reference bug bit-for-bit: a window slides over row 0 only, every
+    other row keeps all its raw vertices."""
     out = occ.copy()
+    if first_row_only:
+        r, cols = 0, occ.shape[1]
+        for c in range(half_k, cols - half_k):
+            lo, hi = c - half_k, c + half_k
+            if out[r, lo:hi].sum() > 1:
+                vals = conf[r, lo:hi]
+                idx = np.nonzero(out[r, lo:hi] > 0)[0]
+                best = idx[np.argmax(vals[idx])]
+                out[r, lo:hi] = 0
+                out[r, lo + best] = 1
+        return out
     rows, _ = occ.shape
     for r in range(rows):
         cols = np.nonzero(out[r])[0]
@@ -103,7 +119,8 @@ def thin_vertex_grid(occ: np.ndarray, conf: np.ndarray,
 
 def smooth_lanes(out_cls: np.ndarray, orient: np.ndarray,
                  seg_conf: Optional[np.ndarray] = None,
-                 complete_inner_nodes: bool = True) -> np.ndarray:
+                 complete_inner_nodes: bool = True,
+                 occ_first_row_only: bool = False) -> np.ndarray:
     """Re-chain raw per-proposal vertices into coherent polylines
     (reference `smooth_cls_line_per_batch:222-387`).
 
@@ -121,7 +138,8 @@ def smooth_lanes(out_cls: np.ndarray, orient: np.ndarray,
         rows = np.nonzero(out_cls[i] > 0)[0]
         occ[rows, out_cls[i, rows].astype(int)] = 1
     if seg_conf is not None:
-        occ = thin_vertex_grid(occ, seg_conf, half_k=4)
+        occ = thin_vertex_grid(occ, seg_conf, half_k=4,
+                               first_row_only=occ_first_row_only)
 
     total = np.full_like(out_cls, -1.0)
     total_len = np.zeros(n_line)
@@ -488,18 +506,20 @@ def render_semantic_map(ply: np.ndarray, img: int = 1152) -> np.ndarray:
 # map assembly (reference `get_lane_map_numpy_with_label:761-886`)
 # --------------------------------------------------------------------------
 
-def _smooth_dispatch(coors, orient, seg_conf, img):
+def _smooth_dispatch(coors, orient, seg_conf, img, occ_first_row_only=False):
     """Prefer the native C++ tracker (lanemapping_tpu/native), falling back
     to the NumPy implementation when the library isn't built."""
     try:
         from ..native import smooth_lanes_native
-        out = smooth_lanes_native(coors, orient, seg_conf, True, img)
+        out = smooth_lanes_native(coors, orient, seg_conf, True, img,
+                                  occ_first_row_only=occ_first_row_only)
         if out is not None:
             return out
     except Exception:
         pass
     return smooth_lanes(coors, orient, seg_conf=seg_conf,
-                        complete_inner_nodes=True)
+                        complete_inner_nodes=True,
+                        occ_first_row_only=occ_first_row_only)
 
 
 def _nms_dispatch(lines, sem_rows, img):
@@ -570,7 +590,11 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
         seg_conf = np.ascontiguousarray(dec["bi_seg_rows"][b],
                                         dtype=np.float32)
         orient = np.array(dec["orient"][b], dtype=np.int64)
-        smooth = _smooth_dispatch(coors, orient, seg_conf, img)
+        # cfg.ref_exact_occupancy_filter: reproduce the reference's
+        # single-row occupancy_filter bug (`polyline_utils.py:220`)
+        occ_first = bool(cfg.get("ref_exact_occupancy_filter", False))
+        smooth = _smooth_dispatch(coors, orient, seg_conf, img,
+                                  occ_first_row_only=occ_first)
         smooth = _nms_dispatch(smooth, seg_conf, img)
 
         if view_detail:
@@ -583,7 +607,8 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
                 v = np.where(exist == -1, -1.0, v)
                 v = np.clip(v, -1.0, img - 1.0)
                 v[(v > -1) & (v < 0)] = 0.0
-                vs = _smooth_dispatch(v, orient, seg_conf, img)
+                vs = _smooth_dispatch(v, orient, seg_conf, img,
+                                      occ_first_row_only=occ_first)
                 out[out_key].append(_nms_dispatch(vs, seg_conf, img))
 
         if "endp_logits" in dec:

@@ -31,7 +31,8 @@ from .state import create_train_state, make_eval_step, \
     make_train_step
 
 TRAIN_BATCH_KEYS = ("proj", "prop_ext", "prop_coor", "prop_offset",
-                    "prop_offset_mask", "prop_bi_seg", "lc_orient",
+                    "prop_offset_mask", "prop_bi_seg", "prop_inst",
+                    "prop_best", "lc_orient",
                     "semantic_label_raw", "endp_map", "mask", "label",
                     "points", "points_mask")
 
@@ -236,19 +237,33 @@ class Runner:
     # label arrays with small integer ranges ship in the narrowest dtype
     # (losses upcast on device); at batch 4 the f32 batch was ~210 MB and
     # host->device bandwidth bounds the 1152px train step
-    _INT_SHIP = {"prop_bi_seg": np.uint8, "semantic_label_raw": np.uint8,
+    _INT_SHIP = {"prop_bi_seg": np.uint8, "prop_inst": np.uint8,
+                 "prop_best": np.uint8, "semantic_label_raw": np.uint8,
                  "mask": np.uint8, "lc_orient": np.uint8,
-                 "prop_ext": np.uint8, "label": np.int16}
+                 "prop_ext": np.uint8, "prop_offset_mask": np.uint8,
+                 "label": np.int16}
     _BF16_SHIP = ("proj", "endp_map")  # only under bf16 training
+    # PNG-sourced arrays re-quantise to their original uint8 exactly when no
+    # float augmentation ran; /255 happens on device (state.model_input /
+    # head_losses), bit-identical to the host float path at half/quarter the
+    # host->device bytes
+    _U8_ROUNDTRIP = ("proj", "endp_map")
 
     def _device_batch(self, batch: Dict) -> Dict:
         db = {}
         bf16 = self.cfg.get("train_compute_dtype") == "bfloat16"
+        u8_ok = not self.cfg.get("dataset_color_augment", False) \
+            and not self.use_lidar
         for k, v in batch.items():
             if k not in TRAIN_BATCH_KEYS or isinstance(v, list):
                 continue
+            if self.use_lidar and k == "proj":
+                continue  # raw-point training never reads the BEV image
             if k in self._INT_SHIP:
                 v = np.asarray(v).astype(self._INT_SHIP[k], copy=False)
+            elif u8_ok and k in self._U8_ROUNDTRIP:
+                v = np.rint(np.asarray(v, np.float32) * 255.0).astype(
+                    np.uint8)
             elif bf16 and k in self._BF16_SHIP:
                 v = np.asarray(v).astype(jnp.bfloat16, copy=False)
             db[k] = v

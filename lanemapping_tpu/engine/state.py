@@ -27,14 +27,25 @@ def create_train_state(model, tx: optax.GradientTransformation, rng,
                       opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def model_input(batch: Dict, use_lidar: bool = False):
+def model_input(batch: Dict, use_lidar: bool = False, compute_dtype=None):
     """The net's forward input from a batch dict: the BEV image tensor, or —
     on the raw-LiDAR path (reference `runner.py:139-147` to_cuda
     list-of-points branch) — the padded static points buffer + mask that
-    `LidarEncoder` consumes."""
+    `LidarEncoder` consumes.
+
+    A uint8 ``proj`` (shipped raw to halve H2D traffic; the PNG sources are
+    uint8 so /255 on device is bit-identical to the host float path) is
+    normalised here and dropped to ``compute_dtype`` so bf16 training
+    actually runs bf16 (f32 input + bf16 params would promote every layer
+    back to f32)."""
     if use_lidar:
         return {"points": batch["points"], "points_mask": batch["points_mask"]}
-    return batch["proj"]
+    proj = batch["proj"]
+    if proj.dtype == jnp.uint8:
+        proj = proj.astype(jnp.float32) / 255.0
+        if compute_dtype is not None:
+            proj = proj.astype(compute_dtype)
+    return proj
 
 
 def make_train_step(model, tx, loss_fn: Callable[[Dict, Dict], Dict],
@@ -58,7 +69,8 @@ def make_train_step(model, tx, loss_fn: Callable[[Dict, Dict], Dict],
                     if x.dtype == jnp.float32 else x, params)
             variables = {"params": params, "batch_stats": state.batch_stats}
             out, updates = model.apply(
-                variables, model_input(batch, use_lidar), train=True,
+                variables, model_input(batch, use_lidar, compute_dtype),
+                train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng})
             res = loss_fn(out, batch)
             return res["loss"], (res["loss_stats"],

@@ -73,6 +73,7 @@ class ColumnProposalHead(nn.Module):
     num_orients: int = 11
     spatial_att: bool = True
     endp_mode: str = "endp_est"
+    fused_seg_focal: bool = True
     column_att: bool = False
     column_transformer_decoder: bool = False
     dim_token: int = 1024
@@ -93,13 +94,16 @@ class ColumnProposalHead(nn.Module):
         """x [B,S,S,F], x_up [B,2S,2S,F], x_endp [B,8S,8S,1] -> raw map dict.
 
         ``need_prop_seg``: materialise the per-proposal full-resolution
-        binary-seg logits ([B,P,8S,8W]) — needed for the training loss only;
-        eval decode never reads them (`polyline_fpn_vit_vertex_2.py:602-759`
-        consumes the global semantic head instead), so inference skips ~160MB
-        of HBM traffic per batch.
+        binary-seg logits ([B,P,8S,8W]) — needed for the (unfused) training
+        loss only; eval decode never reads them
+        (`polyline_fpn_vit_vertex_2.py:602-759` consumes the global semantic
+        head instead), so inference skips ~160MB of HBM traffic per batch.
+        With ``fused_seg_focal`` the loss upsamples ``prop_seg_small``
+        chunk-by-chunk itself (`head_losses._fused_prop_seg_focal`), so the
+        training forward skips it too.
         """
         if need_prop_seg is None:
-            need_prop_seg = train
+            need_prop_seg = train and not self.fused_seg_focal
         F_ = self.dim_feat
         S = self.row_size
         P, pw, hb = self.num_prop, self.prop_width, self.prop_half_buff
@@ -314,6 +318,7 @@ def build_column_proposal2(cfg=None, dim_feat=8, row_size=144, dim_shared=100,
         num_orients=cfg.number_orients if cfg else 11,
         spatial_att=cfg.get("spatial_att", True) if cfg else True,
         endp_mode=kw.get("endp_mode", "endp_est"),
+        fused_seg_focal=cfg.get("fused_seg_focal", True) if cfg else True,
         column_att=cfg.get("column_att", False) if cfg else False,
         column_transformer_decoder=cfg.get(
             "column_transformer_decoder", False) if cfg else False,

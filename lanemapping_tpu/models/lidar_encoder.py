@@ -22,7 +22,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.interp import resize_bilinear_ac
+from typing import Optional
+
+from ..ops.interp import resize_bicubic, resize_bilinear_ac
 from ..ops.voxelize import voxelize_bev_zfold
 from ..registry import PCENCODER
 
@@ -75,25 +77,35 @@ class LidarEncoder(nn.Module):
     backbone_channels: int = 128
     ds_ratio: int = 8
     use_pallas_voxelizer: bool = False
+    # reference-exact modes (default: TPU-native choices; see VERDICT r2 #5)
+    max_points_per_voxel: Optional[int] = None  # ref: first-10-points mean
+    bicubic_upsample: bool = False  # ref: bicubic align_corners=False
 
     @nn.compact
     def __call__(self, points, train: bool = False, mask=None):
         """points: [B, N, 4] padded (x,y,z,intensity); mask: [B, N] valid."""
         if mask is None:
             mask = jnp.ones(points.shape[:2], bool)
-        if self.use_pallas_voxelizer:
+        if self.use_pallas_voxelizer and self.max_points_per_voxel is None:
             from ..kernels.bev_rasterize import voxelize_bev_zfold_pallas
             vox_fn = lambda p, m: voxelize_bev_zfold_pallas(
                 p, m, self.pc_range, self.grid)
         else:
             vox_fn = lambda p, m: voxelize_bev_zfold(
-                p, m, self.pc_range, self.grid)
+                p, m, self.pc_range, self.grid,
+                max_points_per_voxel=self.max_points_per_voxel)
         vox = jax.vmap(vox_fn)(points, mask)  # [B,Y,X,Z*C]
         feat = DenseZFoldEncoder(self.backbone_channels,
                                  name="zfold_encoder")(vox, train)
         # flip rows to match the BEV annotation frame (reference `:70`)
         feat = feat[:, ::-1, :, :]
-        up = resize_bilinear_ac(feat, self.Yn * 2, self.Xn * 2)
+        # reference `:72` upsamples bicubic align_corners=False; the default
+        # here is bilinear align-corners (operator matmuls either way)
+        if self.bicubic_upsample:
+            up = resize_bicubic(feat, self.Yn * 2, self.Xn * 2,
+                                align_corners=False)
+        else:
+            up = resize_bilinear_ac(feat, self.Yn * 2, self.Xn * 2)
 
         norm = lambda name: nn.BatchNorm(use_running_average=not train,
                                          momentum=BN_MOMENTUM, epsilon=BN_EPS,
@@ -127,10 +139,19 @@ def build_lidar_encoder(cfg=None, Xn=144, Yn=144, out_channels=64,
     backbone_ch = 128
     if lidar_encoder and "backnone" in lidar_encoder:  # reference key typo
         backbone_ch = lidar_encoder["backnone"].get("output_channels", 128)
+    max_ppv = None
+    if cfg and cfg.get("ref_exact_voxel_cap", False):
+        max_ppv = 10
+        if lidar_encoder and "voxelize" in lidar_encoder:
+            max_ppv = lidar_encoder["voxelize"].get("max_num_points", 10)
     return LidarEncoder(Xn=Xn, Yn=Yn, out_channels=out_channels,
                         pc_range=pc_range, grid=grid,
                         backbone_channels=backbone_ch,
                         ds_ratio=cfg.get("gt_downsample_ratio", 8)
                         if cfg else 8,
                         use_pallas_voxelizer=cfg.get(
-                            "use_pallas_voxelizer", False) if cfg else False)
+                            "use_pallas_voxelizer", False) if cfg else False,
+                        max_points_per_voxel=max_ppv,
+                        bicubic_upsample=cfg.get(
+                            "ref_exact_bicubic_upsample", False)
+                        if cfg else False)

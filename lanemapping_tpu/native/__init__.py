@@ -52,7 +52,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             up = ctypes.POINTER(ctypes.c_uint8)
             lib.lm_smooth_lanes.argtypes = [dp, ip, fp, ctypes.c_int,
                                             ctypes.c_int, ctypes.c_int,
-                                            ctypes.c_int, dp]
+                                            ctypes.c_int, ctypes.c_int, dp]
             lib.lm_smooth_lanes.restype = None
             lib.lm_polyline_nms.argtypes = [dp, fp, ctypes.c_int,
                                             ctypes.c_int, ctypes.c_int]
@@ -78,9 +78,13 @@ def _fp(a: np.ndarray):
 def smooth_lanes_native(out_cls: np.ndarray, orient: np.ndarray,
                         seg_conf: Optional[np.ndarray],
                         complete_inner_nodes: bool = True,
-                        img: int = 1152) -> Optional[np.ndarray]:
+                        img: int = 1152,
+                        occ_first_row_only: bool = False
+                        ) -> Optional[np.ndarray]:
     """Native tracker; ``seg_conf`` is the [S, img] anchor-row confidence
-    matrix.  Returns None when the library is unavailable."""
+    matrix.  Returns None when the library is unavailable.
+    ``occ_first_row_only`` reproduces the reference occupancy_filter bug
+    (cfg ``ref_exact_occupancy_filter``)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -95,7 +99,8 @@ def smooth_lanes_native(out_cls: np.ndarray, orient: np.ndarray,
     lib.lm_smooth_lanes(
         _dp(out_cls),
         orient_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        conf_ptr, n_line, n_v, img, int(complete_inner_nodes), _dp(result))
+        conf_ptr, n_line, n_v, img, int(complete_inner_nodes),
+        int(occ_first_row_only), _dp(result))
     return result
 
 

@@ -71,8 +71,28 @@ void fill_gaps(double* lines, int n_line, int n_v) {
 extern "C" {
 
 // Occupancy thinning: keep the max-confidence vertex per 2*half_k window.
+// first_row_only transcribes the reference's occupancy_filter exactly
+// (polyline_utils.py:200-220): its early return makes it filter row 0 only,
+// with a window sliding over every column.
 void lm_thin_vertex_grid(double* occ, const double* conf, int rows, int cols,
-                         int half_k) {
+                         int half_k, int first_row_only) {
+  if (first_row_only) {
+    double* row = occ;
+    const double* crow = conf;
+    for (int c = half_k; c < cols - half_k; ++c) {
+      int lo = c - half_k, hi = c + half_k;
+      double cnt = 0;
+      for (int k = lo; k < hi; ++k) cnt += row[k] > 0 ? row[k] : 0.0;
+      if (cnt <= 1) continue;
+      int best = -1;
+      double best_v = -1e30;
+      for (int k = lo; k < hi; ++k)
+        if (row[k] > 0 && crow[k] > best_v) { best_v = crow[k]; best = k; }
+      for (int k = lo; k < hi; ++k) row[k] = 0;
+      row[best] = 1;
+    }
+    return;
+  }
   for (int r = 0; r < rows; ++r) {
     double* row = occ + r * cols;
     const double* crow = conf + r * cols;
@@ -100,7 +120,7 @@ void lm_thin_vertex_grid(double* occ, const double* conf, int rows, int cols,
 // just these) or nullptr; result: [n_line, n_v].
 void lm_smooth_lanes(const double* out_cls, const int32_t* orient,
                      const float* conf_rows_f, int n_line, int n_v, int img,
-                     int complete_inner, double* result) {
+                     int complete_inner, int occ_first_row, double* result) {
   std::vector<double> src(out_cls, out_cls + n_line * n_v);
   sort_left_to_right(src, n_line, n_v);
 
@@ -113,7 +133,8 @@ void lm_smooth_lanes(const double* out_cls, const int32_t* orient,
   if (conf_rows_f) {
     std::vector<double> conf_rows((size_t)n_v * img);
     for (size_t k = 0; k < conf_rows.size(); ++k) conf_rows[k] = conf_rows_f[k];
-    lm_thin_vertex_grid(occ.data(), conf_rows.data(), n_v, img, 4);
+    lm_thin_vertex_grid(occ.data(), conf_rows.data(), n_v, img, 4,
+                        occ_first_row);
   }
 
   std::vector<double> total((size_t)n_line * n_v, -1.0);

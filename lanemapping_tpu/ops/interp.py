@@ -42,6 +42,53 @@ def _interp_matrix_np(n_in: int, n_out: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _cubic_interp_matrix_np(n_in: int, n_out: int,
+                            align_corners: bool = False,
+                            a: float = -0.75) -> np.ndarray:
+    """[n_out, n_in] bicubic (Keys, a=-0.75) interpolation operator matching
+    ``F.interpolate(mode='bicubic')`` semantics — the reference LidarEncoder
+    upsamples its backbone feature with bicubic align_corners=False
+    (`/root/reference/baseline/models/pcencoder/lidarencoder.py:72`).
+    Border taps clamp (replicate), like PyTorch."""
+    if n_in == 1:
+        return np.ones((n_out, 1), dtype=np.float32)
+    if align_corners:
+        src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / max(n_out - 1,
+                                                                    1)
+    else:
+        src = (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+
+    def kernel(t):
+        t = np.abs(t)
+        w = np.where(t <= 1.0, (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1,
+                     np.where(t < 2.0,
+                              a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a,
+                              0.0))
+        return w
+
+    lo = np.floor(src).astype(np.int64)
+    m = np.zeros((n_out, n_in), dtype=np.float64)
+    rows = np.arange(n_out)
+    for tap in (-1, 0, 1, 2):
+        idx = lo + tap
+        w = kernel(src - idx)
+        np.add.at(m, (rows, np.clip(idx, 0, n_in - 1)), w)
+    return m.astype(np.float32)
+
+
+def resize_bicubic(x: jnp.ndarray, out_h: int, out_w: int,
+                   align_corners: bool = False) -> jnp.ndarray:
+    """Bicubic resize of ...HWC tensors as two operator matmuls."""
+    *lead, h, w, c = x.shape
+    mh = jnp.asarray(_cubic_interp_matrix_np(h, out_h, align_corners),
+                     dtype=x.dtype)
+    mw = jnp.asarray(_cubic_interp_matrix_np(w, out_w, align_corners),
+                     dtype=x.dtype)
+    y = jnp.einsum("oh,...hwc->...owc", mh, x)
+    return jnp.einsum("pw,...hwc->...hpc", mw, y)
+
+
+@functools.lru_cache(maxsize=None)
 def _pool_matrix_np(n_in: int, k: int) -> np.ndarray:
     """[n_in//k, n_in] average-pooling operator (stride == kernel == k)."""
     n_out = n_in // k

@@ -170,7 +170,11 @@ def test_synthetic_dataset_end_to_end(tmp_path, tiny_cfg):
     W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff
     assert s["proj"].shape == (img, img, 3)
     assert s["prop_ext"].shape == (P, S)
-    assert s["prop_bi_seg"].shape == (P, img, W * 8)
+    # fused seg-focal (default): windowed bi-seg GT is derived on device
+    # from the merged instance map + per-proposal lane assignment
+    assert s["prop_inst"].shape == (img, img)
+    assert s["prop_best"].shape == (P,)
+    assert "prop_bi_seg" not in s
     assert s["endp_map"].shape == (img, img)
     # at least one proposal should carry an actual lane
     assert (s["prop_ext"] > 0).any()
@@ -183,3 +187,27 @@ def test_synthetic_dataset_end_to_end(tmp_path, tiny_cfg):
     loader = Loader(ds, batch_size=2, shuffle=True, drop_last=True)
     batch = next(iter(loader))
     assert batch["prop_coor"].shape == (2, P, S)
+
+
+@pytest.mark.parametrize("seed", [5, 7, 11])
+def test_prop_inst_windows_equal_prop_bi_seg(seed):
+    """(window of merged instance map == assigned lane id) must reproduce the
+    explicit windowed per-lane binary GT exactly — the invariant the fused
+    seg-focal loss relies on (head_losses._fused_prop_seg_focal)."""
+    H, n_cls, ds = 192, 4, 8
+    S = H // ds
+    P, pw, hb = S // 2, 2, 4
+    W = pw + 2 * hb
+    inst, ori, init_pts, term_pts, semantic = _random_tile(seed, H, n_cls, ds)
+    mask = (inst != 255).astype(np.uint8)
+    endp = np.zeros((H, H), np.float32)
+    gt = build_proposal_gt(inst, mask, ori, endp, init_pts, term_pts,
+                           semantic, n_cls=n_cls, row_size=S, ds=ds,
+                           num_prop=P, prop_width=pw, half_buff=hb,
+                           emit_full_bi_seg=True)
+    inst_pad = np.pad(gt["prop_inst"], ((0, 0), (hb * ds, hb * ds)),
+                      constant_values=255)
+    win_raw = (ds * pw) * np.arange(P)[:, None] + np.arange(W * ds)[None, :]
+    derived = (inst_pad[:, win_raw].transpose(1, 0, 2)
+               == gt["prop_best"][:, None, None]).astype(np.uint8)
+    np.testing.assert_array_equal(derived, gt["prop_bi_seg"])

@@ -232,3 +232,66 @@ def test_render_semantic_map_speed():
     _render_semantic_map_loop(ply)
     t_loop = time.perf_counter() - t0
     assert t_vec * 5 < t_loop, (t_vec, t_loop)
+
+
+def test_thin_vertex_grid_first_row_matches_reference_transcription():
+    """ref_exact_occupancy_filter: the first-row-only mode must equal a
+    literal transcription of the reference's occupancy_filter
+    (`polyline_utils.py:200-220`, early return inside the row loop)."""
+    from lanemapping_tpu.decode.postprocess import thin_vertex_grid
+
+    def reference_occupancy_filter(occu_flag, occu_seg_conf, half_k_size=4):
+        f_row, f_col = occu_flag.shape
+        occu_flag_copy = occu_flag.copy()
+        for r_id in range(f_row):
+            for c_id in range(half_k_size, f_col - half_k_size):
+                if np.sum(occu_flag_copy[
+                        r_id, (c_id - half_k_size):(c_id + half_k_size)]) > 1:
+                    local_values = occu_seg_conf[
+                        r_id, (c_id - half_k_size):(c_id + half_k_size)]
+                    local_idxes = np.where(occu_flag_copy[
+                        r_id, (c_id - half_k_size):(c_id + half_k_size)]
+                        > 0)[0]
+                    max_id = local_idxes[0]
+                    max_value = local_values[max_id]
+                    for idx in local_idxes:
+                        if local_values[idx] > max_value:
+                            max_id = idx
+                            max_value = local_values[max_id]
+                    occu_flag_copy[
+                        r_id, (c_id - half_k_size):(c_id + half_k_size)] = 0
+                    occu_flag_copy[r_id, (c_id - half_k_size + max_id)] = 1.
+            return occu_flag_copy
+
+    rng = np.random.RandomState(0)
+    for seed in range(4):
+        rng = np.random.RandomState(seed)
+        occ = (rng.rand(24, 96) < 0.15).astype(np.float64)
+        conf = rng.rand(24, 96).astype(np.float64)
+        want = reference_occupancy_filter(occ, conf)
+        got = thin_vertex_grid(occ, conf, half_k=4, first_row_only=True)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_thin_vertex_grid_first_row_native_matches_python():
+    """The C++ tracker's occ_first_row mode equals the Python path
+    end-to-end through smooth_lanes."""
+    from lanemapping_tpu.decode.postprocess import smooth_lanes
+    from lanemapping_tpu.native import smooth_lanes_native
+
+    rng = np.random.RandomState(1)
+    n_line, n_v, img = 6, 24, 192
+    coors = np.where(rng.rand(n_line, n_v) < 0.5,
+                     rng.uniform(1, img - 1, (n_line, n_v)), -1.0)
+    orient = rng.randint(0, 11, (n_v, n_v)).astype(np.int64)
+    seg_conf = rng.rand(n_v, img).astype(np.float32)
+    for first in (False, True):
+        want = smooth_lanes(coors.copy(), orient, seg_conf=seg_conf,
+                            complete_inner_nodes=True,
+                            occ_first_row_only=first)
+        got = smooth_lanes_native(coors.copy(), orient, seg_conf, True, img,
+                                  occ_first_row_only=first)
+        if got is None:
+            import pytest
+            pytest.skip("native library unavailable")
+        np.testing.assert_allclose(got, want, err_msg=f"first={first}")

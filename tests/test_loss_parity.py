@@ -160,3 +160,89 @@ def test_column_loss_matches_reference_transcription(seed, tiny_cfg):
     for k, tv in want.items():
         jv = float(got["loss_stats"][k])
         assert jv == pytest.approx(float(tv), rel=2e-4, abs=1e-5), k
+
+
+def test_fused_seg_focal_matches_unfused(tiny_cfg):
+    """The fused chunked seg-focal (device-side GT from the merged instance
+    map, checkpointed scan over row chunks) equals the unfused term
+    (materialised [B,P,8S,8W] logits + shipped windowed GT) to fp tolerance."""
+    import jax.numpy as jnp
+    from lanemapping_tpu.models.head_losses import (column_proposal_loss,
+                                                    head_hparams)
+    from lanemapping_tpu.ops.interp import _interp_matrix_np
+
+    cfg = tiny_cfg
+    S, P = cfg.heads.row_size, cfg.heads.num_prop
+    pw, hb = cfg.heads.prop_width, cfg.heads.prop_half_buff
+    W = pw + 2 * hb
+    ds = 8
+    img = ds * S
+    B, n_cls = 2, cfg.number_lanes
+    rng = np.random.RandomState(3)
+
+    inst = np.where(rng.rand(B, img, img) < 0.08,
+                    rng.randint(0, n_cls, (B, img, img)),
+                    255).astype(np.uint8)
+    best = rng.randint(0, n_cls, (B, P)).astype(np.uint8)
+    seg_win = rng.randn(B, P, 2 * S, 2 * W).astype(np.float32)
+
+    # unfused inputs: upsampled logits (same operator matmuls as the model)
+    # + the windowed GT the dataset would have shipped
+    uh = _interp_matrix_np(2 * S, img)
+    uw = _interp_matrix_np(2 * W, ds * W)
+    big = np.einsum("oh,bphw->bpow", uh, seg_win)
+    prop_bi_seg_logits = np.einsum("ow,bphw->bpho", uw, big)
+    inst_pad = np.pad(inst, ((0, 0), (0, 0), (hb * ds, hb * ds)),
+                      constant_values=255)
+    win_raw = (ds * pw) * np.arange(P)[:, None] + np.arange(W * ds)[None, :]
+    gt_win = np.transpose(inst_pad[:, :, win_raw], (0, 2, 1, 3))
+    gt_bi_seg = (gt_win == best[:, :, None, None]).astype(np.float32)
+
+    ext = rng.choice([0, 1, 2], size=(B, P, S), p=[0.6, 0.25, 0.15])
+    base_out = {
+        "proposal_conf": rng.randn(B, P, 2).astype(np.float32),
+        "ext2": rng.randn(B, P, S, 3).astype(np.float32),
+        "cls2": rng.randn(B, P, S, W).astype(np.float32),
+        "offset2": rng.randn(B, P, S, W).astype(np.float32),
+        "orient": rng.randn(B, S, S, 11).astype(np.float32),
+        "semantic_seg": rng.randn(B, img, img, 3).astype(np.float32),
+        "endp_est": rng.randn(B, img, img, 1).astype(np.float32),
+    }
+    base_batch = {
+        "prop_ext": ext.astype(np.float32),
+        "prop_coor": rng.uniform(-2, W + 2, (B, P, S)).astype(np.float32),
+        "prop_offset": rng.randn(B, P, S, W).astype(np.float32),
+        "prop_offset_mask": (rng.rand(B, P, S, W) > 0.7).astype(np.float32),
+        "semantic_label_raw": rng.randint(0, 3, (B, img, img)),
+        "endp_map": np.where(rng.rand(B, img, img) > 0.99,
+                             rng.rand(B, img, img), 0).astype(np.float32),
+        "lc_orient": rng.randint(0, 11, (B, S, S)),
+    }
+    J = lambda d: {k: jnp.asarray(v) for k, v in d.items()}
+
+    hp = head_hparams(cfg)
+    hp_unfused = dict(hp, fused_seg_focal=False)
+    got_unfused = column_proposal_loss(
+        J({**base_out, "prop_bi_seg": prop_bi_seg_logits}),
+        J({**base_batch, "prop_bi_seg": gt_bi_seg}), hp_unfused)
+
+    hp_fused = dict(hp, fused_seg_focal=True)
+    got_fused = column_proposal_loss(
+        J({**base_out, "prop_seg_small": seg_win}),
+        J({**base_batch, "prop_inst": inst, "prop_best": best}), hp_fused)
+
+    a = float(got_unfused["loss_stats"]["binary_seg_loss"])
+    b = float(got_fused["loss_stats"]["binary_seg_loss"])
+    assert a > 0.0
+    assert b == pytest.approx(a, rel=1e-5)
+    # gradients through the fused scan also stay finite
+    import jax
+
+    def f(sw):
+        res = column_proposal_loss(
+            J({**base_out, "prop_seg_small": 0.0 * jnp.asarray(seg_win) + sw}),
+            J({**base_batch, "prop_inst": inst, "prop_best": best}), hp_fused)
+        return res["loss_stats"]["binary_seg_loss"]
+
+    g = jax.grad(f)(jnp.asarray(seg_win))
+    assert np.all(np.isfinite(np.asarray(g)))

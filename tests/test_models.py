@@ -53,6 +53,9 @@ def test_detector_forward_shapes(tiny_cfg):
 
 def test_detector_train_has_prop_seg_and_loss(tiny_cfg):
     cfg = tiny_cfg
+    # unfused path: the model materialises the upsampled per-proposal seg
+    # logits and the loss consumes the shipped [B,P,8S,8W] GT
+    cfg.fused_seg_focal = False
     S, P = cfg.heads.row_size, cfg.heads.num_prop
     W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff
     B = 2

@@ -222,13 +222,21 @@ def main():
           f"({tiles_s:.2f} tiles/s end-to-end, "
           f"{km_lane_h:.1f} km-lane/hour)")
     if args.bench_json:
-        print(json.dumps({
+        rec = {
             "metric": "e2e_tiles_per_sec_per_chip",
             "value": round(tiles_s, 2),
             "unit": "tiles/s",
             "km_lane_per_hour": round(km_lane_h, 1),
             "n_tiles": n_tiles,
-        }))
+        }
+        if not args.ckpt:
+            # random-weight runs decode noise polylines: tiles/s is a real
+            # throughput measurement but km-lane/hour is only a proxy
+            rec["throughput_proxy"] = True
+            rec["weights"] = "random-init"
+        else:
+            rec["weights"] = os.path.abspath(args.ckpt)
+        print(json.dumps(rec))
 
     if args.params_dir and os.path.isdir(args.params_dir):
         from lanemapping_tpu.tools.img2pc import convert_directory

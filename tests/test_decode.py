@@ -295,3 +295,47 @@ def test_thin_vertex_grid_first_row_native_matches_python():
             import pytest
             pytest.skip("native library unavailable")
         np.testing.assert_allclose(got, want, err_msg=f"first={first}")
+
+
+def test_bi_seg_rows_u8_quantization_delta(tiny_cfg):
+    """Streaming readback ships the anchor-row conf map as uint8
+    (tools/stream_map.py): every host read is a comparison, so a monotone
+    255-level quantization should leave the final polylines (sub-)pixel
+    identical except for exact ties.  Quantify the delta on synthetic
+    decodes."""
+    import jax
+    import jax.numpy as jnp
+    from lanemapping_tpu.decode.lane_decode import decode_lanes, \
+        host_decode_view
+    from lanemapping_tpu.decode.postprocess import lane_maps_from_decode
+    from lanemapping_tpu.models.nets import build_model
+
+    cfg = tiny_cfg
+    img = cfg.list_img_size_xy[0]
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    proj = jax.random.uniform(rng, (2, img, img, 3), jnp.float32)
+    variables = model.init(rng, proj[:1], train=False)
+    out = model.apply(variables, proj, train=False)
+    dec = jax.device_get(host_decode_view(decode_lanes(out, cfg)))
+
+    maps_f32 = lane_maps_from_decode(dec, cfg)
+    dec_q = dict(dec)
+    dec_q["bi_seg_rows"] = np.round(
+        np.clip(dec["bi_seg_rows"], 0, 1) * 255).astype(np.uint8)
+    dec_q["prop_v_ext"] = dec["prop_v_ext"].astype(np.uint8)
+    maps_u8 = lane_maps_from_decode(dec_q, cfg)
+
+    for b in range(2):
+        a = maps_f32["cls_offset_smooth"][b]
+        q = maps_u8["cls_offset_smooth"][b]
+        assert a.shape == q.shape
+        va, vq = a[:, :, 0] > 0, q[:, :, 0] > 0
+        # tie-flips may move individual vertices between lines; the total
+        # vertex budget and positions of agreeing vertices must match
+        n_a, n_q = int(va.sum()), int(vq.sum())
+        assert abs(n_a - n_q) <= max(2, 0.02 * max(n_a, 1))
+        both = va & vq
+        if both.any():
+            d = np.abs(a[:, :, 0][both] - q[:, :, 0][both])
+            assert np.percentile(d, 95) <= 1.0

@@ -112,10 +112,14 @@ def main():
         if not need_detail:
             keep.pop("cls", None)
             keep.pop("cls_exp", None)
-        # readback squeeze: the conf rows feed argmax comparisons only and
-        # orient is an 11-class id — half/byte precision loses nothing the
-        # host reads, and D2H through the tunnel measures ~15 MB/s
-        keep["bi_seg_rows"] = keep["bi_seg_rows"].astype(jnp.float16)
+        # readback squeeze: every host read of the conf rows is a comparison
+        # (thinning argmax, NMS keep-the-higher), which any monotone map
+        # preserves — ship uint8 (v*255 rounded; 0.17 MB/tile instead of the
+        # f16 0.33 / f32 0.66) through the ~15 MB/s tunnel.  v_ext is a
+        # {0,1,2} class id and orient an 11-class id: one byte each.
+        keep["bi_seg_rows"] = jnp.round(
+            jnp.clip(keep["bi_seg_rows"], 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        keep["prop_v_ext"] = keep["prop_v_ext"].astype(jnp.uint8)
         keep["orient"] = keep["orient"].astype(jnp.int8)
         return keep
 

@@ -98,19 +98,26 @@ def bev_bin_sums(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
                  band_rows: int = 8, capacity: int = 4096,
                  interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-cell (sum, count) of point values on an [height, width] grid."""
-    n_bands = height // band_rows
-    if n_bands % BANDS_PER_PROG != 0:
-        raise ValueError(f"height/band_rows={n_bands} must be divisible by "
-                         f"{BANDS_PER_PROG}")
+    if height % band_rows != 0:
+        raise ValueError(f"height={height} must be divisible by "
+                         f"band_rows={band_rows}")
+    # round the band count up to a grid-program multiple; padding bands hold
+    # no points and their output rows are sliced off
+    n_bands = -(-(height // band_rows) // BANDS_PER_PROG) * BANDS_PER_PROG
+    hpad = n_bands * band_rows
     b_rows, b_cols, b_vals = _band_points(rows, cols, vals, valid, n_bands,
                                           band_rows, capacity)
-    col_tile = min(width, 128)
-    assert width % col_tile == 0
-    kernel = functools.partial(_bin_kernel, band_rows=band_rows, width=width,
+    # pad the column axis to a lane-tile multiple (e.g. the 576-wide LiDAR
+    # voxel grid -> 640); cols of -1 never match an iota id, so padded
+    # columns stay zero and are sliced off below
+    pad_w = (-width) % 128
+    wpad = width + pad_w
+    col_tile = min(wpad, 128)
+    kernel = functools.partial(_bin_kernel, band_rows=band_rows, width=wpad,
                                col_tile=col_tile)
     in_spec = pl.BlockSpec((BANDS_PER_PROG, capacity), lambda b: (b, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((BANDS_PER_PROG * band_rows, width),
+    out_spec = pl.BlockSpec((BANDS_PER_PROG * band_rows, wpad),
                             lambda b: (b, 0), memory_space=pltpu.VMEM)
     sums, cnts = pl.pallas_call(
         kernel,
@@ -118,11 +125,13 @@ def bev_bin_sums(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,
         in_specs=[in_spec, in_spec, in_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
-            jax.ShapeDtypeStruct((height, width), jnp.float32),
+            jax.ShapeDtypeStruct((hpad, wpad), jnp.float32),
+            jax.ShapeDtypeStruct((hpad, wpad), jnp.float32),
         ],
         interpret=interpret,
     )(b_rows, b_cols, b_vals)
+    if pad_w or hpad != height:
+        sums, cnts = sums[:height, :width], cnts[:height, :width]
     return sums, cnts
 
 
@@ -145,12 +154,18 @@ def rasterize_bev_intensity_pallas(points: jnp.ndarray, mask: jnp.ndarray,
 
 
 def voxelize_bev_zfold_pallas(points: jnp.ndarray, mask: jnp.ndarray,
-                              pc_range, grid, interpret: bool = False):
+                              pc_range, grid, interpret: bool = False,
+                              capacity: int = 16384):
     """Pallas drop-in for `ops.voxelize.voxelize_bev_zfold`: [Y, X, Z*C].
 
     Runs one binning pass per (z-slab, feature) pair on the same banded
     buffers; Z and C are small (10 x 4) so the passes batch into a vmap over
     the value channel with the z-slab folded into the row index.
+
+    ``capacity``: max points per 8-row band (VMEM block size trades against
+    drop risk — road MLS clouds concentrate in 1-2 z slabs, so bands there
+    hold ~N*5/n_bands points; 16384 covers ~2M clustered points on the
+    576x576x10 grid at ~2.4 MB of VMEM per input block).
     """
     from ..ops.voxelize import point_voxel_ids
 
@@ -166,7 +181,7 @@ def voxelize_bev_zfold_pallas(points: jnp.ndarray, mask: jnp.ndarray,
 
     def one_feature(v):
         s, c = bev_bin_sums(rows, xi, v, valid, height=Z * Y, width=X,
-                            interpret=interpret)
+                            capacity=capacity, interpret=interpret)
         return s, c
 
     sums, cnts = jax.vmap(one_feature, in_axes=1, out_axes=0)(points)

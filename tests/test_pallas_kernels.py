@@ -73,3 +73,29 @@ def test_pallas_zfold_matches_xla():
     got = np.asarray(voxelize_bev_zfold_pallas(
         jnp.asarray(pts), jnp.asarray(mask), pc_range, grid, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_zfold_nonmultiple_width_matches_xla():
+    """The real LiDAR grid is 576 wide (not a 128 multiple): the kernel pads
+    the lane axis internally and slices back."""
+    import jax.numpy as jnp
+    from lanemapping_tpu.kernels.bev_rasterize import voxelize_bev_zfold_pallas
+    from lanemapping_tpu.ops.voxelize import voxelize_bev_zfold
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    pts = np.concatenate([
+        rng.uniform(-16, 16, (n, 1)),
+        rng.uniform(-26, 26, (n, 1)),
+        rng.uniform(-2.2, 2.2, (n, 1)),
+        rng.uniform(0, 1, (n, 1)),
+    ], axis=1).astype(np.float32)
+    mask = rng.rand(n) > 0.1
+    pc_range = (-15.0, -25.0, -2.0, 15.0, 25.0, 2.0)
+    grid = (576, 16, 10)  # width 576 = 4.5 * 128
+    want = np.asarray(voxelize_bev_zfold(jnp.asarray(pts), jnp.asarray(mask),
+                                         pc_range, grid))
+    got = np.asarray(voxelize_bev_zfold_pallas(
+        jnp.asarray(pts), jnp.asarray(mask), pc_range, grid, interpret=True,
+        capacity=2048))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -61,6 +61,7 @@ def main_train():
     cfg.remat = True
     fused = os.environ.get("BENCH_FUSED_SEG", "1") == "1"
     cfg.fused_seg_focal = fused
+    cfg.seg_focal_chunks = int(os.environ.get("BENCH_SEG_CHUNKS", "1"))
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
     img = cfg.list_img_size_xy[0]
     S, P = cfg.heads.row_size, cfg.heads.num_prop
@@ -149,6 +150,7 @@ def main_train():
         "batch": B,
         "img": img,
         "fused_seg_focal": fused,
+        "seg_focal_chunks": cfg.seg_focal_chunks,
         "step_flops": step_flops,
         "train_mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
         "tiles_per_sec_train": round(B / max(sec_per_step, 1e-9), 2),

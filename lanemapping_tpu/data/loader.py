@@ -144,7 +144,12 @@ def build_dataloader(split_cfg, cfg, is_train: bool = True) -> Loader:
     from ..registry import build_dataset
 
     ds = build_dataset(split_cfg, cfg)
-    multi = jax.process_count() > 1 and is_train
+    # EVAL loaders rank-shard too: each process loads its slice of every
+    # global batch, the Runner assembles global arrays
+    # (`engine/runner.py:_eval_input`) and merges per-process metric counts
+    # (`Runner._merge_metrics`).  Multi-host always drops ragged tails so
+    # every process contributes an equal slice.
+    multi = jax.process_count() > 1
     return Loader(
         ds,
         batch_size=cfg.batch_size,

@@ -79,7 +79,8 @@ def write_transform_params(path: str, stem: str,
 def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
                      n_lanes_range=(3, 7), seed: int = 0,
                      splits=None, with_params: bool = False,
-                     with_points: bool = False) -> List[str]:
+                     with_points: bool = False,
+                     points_per_tile: int = 20000) -> List[str]:
     """Write ``n_tiles`` synthetic tiles + labels + split file under ``root``."""
     from PIL import Image
 
@@ -124,7 +125,7 @@ def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
             pdir = os.path.join(root, "las")
             os.makedirs(pdir, exist_ok=True)
             # point cloud roughly consistent with the BEV frame
-            n_pts = 20000
+            n_pts = points_per_tile
             pts = np.concatenate([
                 rng.uniform(-14, 14, (n_pts, 1)),
                 rng.uniform(-24, 24, (n_pts, 1)),

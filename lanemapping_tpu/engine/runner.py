@@ -140,7 +140,7 @@ class Runner:
                 break
             out = self._eval_step(self.state, self._eval_input(batch))
             from ..decode.lane_decode import host_decode_view
-            dec = _jax.device_get(host_decode_view(
+            dec = self._local_rows(host_decode_view(
                 decode_lanes(out, self.cfg)))
             maps = lane_maps_from_decode(dec, self.cfg)
             names = batch.get("image_name",
@@ -177,7 +177,7 @@ class Runner:
             if max_batches is not None and i >= max_batches:
                 break
             out = self._eval_step(self.state, self._eval_input(batch))
-            pred = jax.device_get(segmentor_infer(
+            pred = self._local_rows(segmentor_infer(
                 out, seg_thre=self.cfg.get("seg_thre", 0.1),
                 n_lanes=self.cfg.number_lanes))
             names = batch.get("image_name",
@@ -270,9 +270,50 @@ class Runner:
         return shard_batch(db, self.mesh)
 
     def _eval_input(self, batch: Dict):
-        """Forward input for eval/inference: BEV image or LiDAR points dict."""
+        """Forward input for eval/inference: BEV image or LiDAR points dict.
+
+        Multi-host: the eval loader is rank-sharded (`data/loader.py`), so
+        each process holds a slice and the global array is assembled here —
+        the eval analogue of `parallel.mesh.shard_batch`."""
         from .state import model_input
-        return jax.device_put(model_input(batch, self.use_lidar))
+        inp = model_input(batch, self.use_lidar)
+        if jax.process_count() > 1:
+            from ..parallel.mesh import batch_sharding
+            sh = batch_sharding(self.mesh)
+            mk = lambda v: jax.make_array_from_process_local_data(
+                sh, np.asarray(v))
+            return {k: mk(v) for k, v in inp.items()} \
+                if isinstance(inp, dict) else mk(inp)
+        return jax.device_put(inp)
+
+    @staticmethod
+    def _local_rows(tree: Dict) -> Dict:
+        """This process's batch rows of a (possibly multi-host) decode dict:
+        device_get on a non-fully-addressable array is invalid, so read the
+        addressable shards in global order."""
+        if jax.process_count() == 1:
+            return jax.device_get(tree)
+
+        def get(a):
+            shards = sorted(a.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            return np.concatenate([np.asarray(s.data) for s in shards],
+                                  axis=0)
+        return {k: get(v) for k, v in tree.items()}
+
+    @staticmethod
+    def _merge_metrics(scalars: Dict, counts: Dict = None):
+        """Merge per-process metric means/counts across hosts (equal local
+        sample counts by construction, so mean-of-means == global mean)."""
+        if jax.process_count() == 1:
+            return scalars, counts
+        from ..parallel.dist import all_gather_host
+        merged = {k: float(np.mean([g[k] for g in all_gather_host(scalars)]))
+                  for k in scalars}
+        if counts is not None:
+            gathered = all_gather_host(counts)
+            counts = {k: sum(g[k] for g in gathered) for k in counts}
+        return merged, counts
 
     def train(self, max_iters: Optional[int] = None):
         cfg = self.cfg
@@ -326,7 +367,7 @@ class Runner:
             from ..decode.seg_infer import segmentor_infer
             pred = segmentor_infer(out, seg_thre=self.cfg.get("seg_thre", 0.1),
                                    n_lanes=self.cfg.number_lanes)
-            pred = jax.device_get(pred)
+            pred = self._local_rows(pred)
             for b in range(batch["proj"].shape[0]):
                 seg_scores.append(eval_metric_line_segmentor(
                     pred["seg"][b], batch["mask"][b], buffer_px=10))
@@ -337,6 +378,9 @@ class Runner:
             else 0.0
         endp_f1 = float(np.mean([s["f1"] for s in endp_scores])) \
             if endp_scores else 0.0
+        scalars, _ = self._merge_metrics({"seg_f1": seg_f1,
+                                          "endp_f1": endp_f1})
+        seg_f1, endp_f1 = scalars["seg_f1"], scalars["endp_f1"]
         return {"seg_f1": seg_f1, "endp_f1": endp_f1,
                 "composite": 0.9 * seg_f1 + 0.1 * endp_f1}
 
@@ -352,10 +396,10 @@ class Runner:
             out = self._eval_step(self.state, self._eval_input(batch))
             if head_type == "RowSharNotReducRef":
                 from ..decode.row_decode import decode_row_lanes
-                dec = jax.device_get(decode_row_lanes(out, cfg.number_lanes))
+                dec = self._local_rows(decode_row_lanes(out, cfg.number_lanes))
                 conf_pred = dec["conf"]
             else:  # GridSeg
-                conf = jax.device_get(out["conf"])
+                conf = self._local_rows({"conf": out["conf"]})["conf"]
                 conf_pred = (conf > cfg.get("conf_thr", 0.3)).astype(
                     np.float64)
             label = batch["label"][:, :, :cfg.heads.row_size]
@@ -364,6 +408,8 @@ class Runner:
                 f1s.append(grid_measures(conf_label[b],
                                          np.asarray(conf_pred[b]))["f1"])
         f1 = float(np.mean(f1s)) if f1s else 0.0
+        scalars, _ = self._merge_metrics({"conf_f1": f1})
+        f1 = scalars["conf_f1"]
         return {"conf_f1": f1, "composite": f1}
 
     def _validate_lanes(self, loader, max_batches) -> Dict:
@@ -381,8 +427,9 @@ class Runner:
             if max_batches is not None and i >= max_batches:
                 break
             out = self._eval_step(self.state, self._eval_input(batch))
-            # read back only what the host postprocess consumes
-            dec = jax.device_get(host_decode_view(decode_lanes(out, cfg)))
+            # read back only what the host postprocess consumes (this
+            # process's rows under multi-host)
+            dec = self._local_rows(host_decode_view(decode_lanes(out, cfg)))
             maps = lane_maps_from_decode(dec, cfg)
             for b in range(batch["proj"].shape[0]):
                 label = batch["lc_coor_raw"][b]
@@ -412,6 +459,10 @@ class Runner:
                         sem_counts[k] += m[k]
         coor = float(np.mean(coor_f1s)) if coor_f1s else 0.0
         endp = float(np.mean(endp_f1s)) if endp_f1s else 0.0
+        scalars, sem_counts = self._merge_metrics(
+            {"coor_f1": coor, "endp_f1": endp},
+            sem_counts if saw_mask else None)
+        coor, endp = scalars["coor_f1"], scalars["endp_f1"]
         metrics = {"coor_f1": coor, "endp_f1": endp,
                    "composite": 0.9 * coor + 0.1 * endp}
         if saw_mask:

@@ -45,16 +45,20 @@ def _fused_prop_seg_focal(seg_win: jnp.ndarray, inst_m: jnp.ndarray,
     `polyline_fpn_vit_vertex_2.py:400`) to [B,P,8S,8W] and taking the focal
     loss against the windowed GT (`:523-526`), but
 
-      * the bilinear upsample runs chunk-by-chunk over the 8S axis inside a
-        checkpointed ``lax.scan``, so the full-resolution logits (and their
-        backward cotangent — measured 25% of the round-2 train step) never
-        exist in HBM at once, and
       * the GT windows are derived ON DEVICE from the merged instance map
         (``prop_inst`` [B,H,H] u8) and per-proposal assigned lane id
         (``prop_best`` [B,P]) via non-overlapping strided block views —
         (window of inst == best) equals the reference's windowed per-lane
         binary map, so the [B,P,8S,8W] u8 GT never crosses host->device
-        (26.5 MB/step at batch 4).
+        (26.5 MB/step at batch 4; the H2D upload is the train-step bound
+        through a tunnel-attached host), and
+      * optionally (``hp['seg_focal_chunks'] > 1``) the bilinear upsample
+        runs chunk-by-chunk over the 8S axis inside a checkpointed
+        ``lax.scan`` so the full-resolution logits never exist in HBM at
+        once.  MEASURED on v5e (batch 4, bf16, remat): the one-shot einsum
+        is faster (0.207 vs 0.228 s/step) because XLA fuses the focal into
+        the upsample matmuls, so chunking is off by default and exists for
+        memory-constrained shapes.
     """
     S, P, W = hp["row_size"], hp["num_prop"], hp["prop_fea_width"]
     pw = hp["prop_width"]
@@ -71,7 +75,8 @@ def _fused_prop_seg_focal(seg_win: jnp.ndarray, inst_m: jnp.ndarray,
 
     uh = jnp.asarray(_interp_matrix_np(2 * S, H), seg_win.dtype)
     uw = jnp.asarray(_interp_matrix_np(2 * W, Wfull), seg_win.dtype)
-    n_chunk = 8
+    n_chunk = int(hp.get("seg_focal_chunks", 1) or 1)
+    assert H % n_chunk == 0
     rows = H // n_chunk
     uh_c = uh.reshape(n_chunk, rows, 2 * S)
 
@@ -94,8 +99,11 @@ def _fused_prop_seg_focal(seg_win: jnp.ndarray, inst_m: jnp.ndarray,
         f = sigmoid_focal_loss(logits, gt)
         return carry + jnp.sum(f * posw[:, :, None, None]), None
 
-    total, _ = jax.lax.scan(jax.checkpoint(chunk), jnp.float32(0.0),
-                            (uh_c, blocks))
+    if n_chunk == 1:
+        total, _ = chunk(jnp.float32(0.0), (uh_c[0], blocks[0]))
+    else:
+        total, _ = jax.lax.scan(jax.checkpoint(chunk), jnp.float32(0.0),
+                                (uh_c, blocks))
     return total / (S * S * ds * B)
 
 
@@ -289,4 +297,5 @@ def head_hparams(cfg) -> Dict:
         prop_width=h.prop_width,
         number_orients=cfg.get("number_orients", 11),
         fused_seg_focal=cfg.get("fused_seg_focal", True),
+        seg_focal_chunks=cfg.get("seg_focal_chunks", 1),
     )

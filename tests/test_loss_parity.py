@@ -162,7 +162,8 @@ def test_column_loss_matches_reference_transcription(seed, tiny_cfg):
         assert jv == pytest.approx(float(tv), rel=2e-4, abs=1e-5), k
 
 
-def test_fused_seg_focal_matches_unfused(tiny_cfg):
+@pytest.mark.parametrize("chunks", [1, 8])
+def test_fused_seg_focal_matches_unfused(tiny_cfg, chunks):
     """The fused chunked seg-focal (device-side GT from the merged instance
     map, checkpointed scan over row chunks) equals the unfused term
     (materialised [B,P,8S,8W] logits + shipped windowed GT) to fp tolerance."""
@@ -226,7 +227,7 @@ def test_fused_seg_focal_matches_unfused(tiny_cfg):
         J({**base_out, "prop_bi_seg": prop_bi_seg_logits}),
         J({**base_batch, "prop_bi_seg": gt_bi_seg}), hp_unfused)
 
-    hp_fused = dict(hp, fused_seg_focal=True)
+    hp_fused = dict(hp, fused_seg_focal=True, seg_focal_chunks=chunks)
     got_fused = column_proposal_loss(
         J({**base_out, "prop_seg_small": seg_win}),
         J({**base_batch, "prop_inst": inst, "prop_best": best}), hp_fused)

@@ -113,3 +113,51 @@ def test_global_batch_stats_under_pjit():
 
     mean = np.asarray(step(v, db["x"]))
     np.testing.assert_allclose(mean, [x.mean()], rtol=1e-6)
+
+
+def test_sharded_streaming_decode_equals_single_device(tiny_cfg):
+    """The stream_map SPMD inference program (fused forward + XLA decode,
+    batch sharded over the 8-device mesh) must return a batch-sharded decode
+    dict numerically equal to the single-device run (VERDICT r2 #3)."""
+    import jax
+    import jax.numpy as jnp
+    from lanemapping_tpu.decode.lane_decode import decode_lanes, \
+        host_decode_view
+    from lanemapping_tpu.models.nets import build_model
+    from lanemapping_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                               replicated)
+
+    cfg = tiny_cfg
+    img = cfg.list_img_size_xy[0]
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    proj_u8 = np.asarray(
+        jax.random.randint(rng, (8, img, img, 3), 0, 256, jnp.int32),
+        np.uint8)
+    variables = model.init(rng, jnp.zeros((1, img, img, 3)), train=False)
+
+    def fwd_dec(v, p):
+        x = p.astype(jnp.float32) / 255.0
+        return host_decode_view(decode_lanes(
+            model.apply(v, x, train=False), cfg))
+
+    # single device
+    want = jax.device_get(jax.jit(fwd_dec)(
+        jax.device_put(variables, jax.devices()[0]),
+        jax.device_put(proj_u8, jax.devices()[0])))
+
+    # 8-device data-parallel
+    mesh = make_mesh(None)
+    assert mesh.devices.size == 8
+    v8 = jax.device_put(variables, replicated(mesh))
+    p8 = jax.device_put(proj_u8, batch_sharding(mesh))
+    got_dev = jax.jit(fwd_dec)(v8, p8)
+    # the decode dict must be batch-sharded over the mesh
+    assert len(got_dev["cls_offset"].addressable_shards) == 8
+    assert got_dev["cls_offset"].addressable_shards[0].data.shape[0] == 1
+    got = jax.device_get(got_dev)
+
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k], np.float32), np.asarray(want[k], np.float32),
+            rtol=2e-4, atol=2e-4, err_msg=k)

@@ -156,11 +156,65 @@ class LaserLaneProposal:
     def __len__(self):
         return len(self.stems)
 
+    # compact dtypes for the on-disk sample cache (lossless: the float
+    # sources are themselves uint8 PNGs / small-int ids)
+    _CACHE_U8 = {"proj": 255.0, "endp_map": 255.0, "label_raw": 1.0}
+
+    def _cache_path(self, stem: str) -> str:
+        cfg = self.cfg
+        sig = f"{cfg.number_lanes}_{cfg.heads.row_size}_" \
+              f"{cfg.heads.num_prop}_{cfg.heads.prop_width}_" \
+              f"{cfg.heads.prop_half_buff}_{int(bool(cfg.get('fused_seg_focal', True)))}"
+        d = osp.join(self.data_root, ".gt_cache", sig)
+        import os
+        os.makedirs(d, exist_ok=True)
+        return osp.join(d, stem + ".npz")
+
+    def _cache_load(self, path: str) -> Dict[str, np.ndarray]:
+        z = np.load(path, allow_pickle=False)
+        out = {}
+        for k in z.files:
+            v = z[k]
+            if k in self._CACHE_U8 and self._CACHE_U8[k] != 1.0:
+                v = v.astype(np.float32) / self._CACHE_U8[k]
+            elif k == "label_raw":
+                v = v.astype(np.int32)
+            out[k] = v
+        return out
+
+    def _cache_store(self, path: str, sample: Dict) -> None:
+        comp = {}
+        for k, v in sample.items():
+            if isinstance(v, str):
+                continue
+            if k in self._CACHE_U8:
+                comp[k] = np.round(np.asarray(v, np.float64)
+                                   * self._CACHE_U8[k]).astype(np.uint8)
+            else:
+                comp[k] = v
+        tmp = path + ".tmp.npz"  # .npz suffix stops savez renaming it
+        np.savez(tmp, **comp)
+        import os
+        os.replace(tmp, path)
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         stem = self.stems[idx]
         p = load_tile_paths(self.data_root, stem,
                             getattr(self, 'label_subdir', 'labels'))
+
+        # on-disk sample cache (cfg.gt_cache): the proposal-GT build costs
+        # ~0.3 s/tile on one host core (the reference pays it in 12 worker
+        # processes every epoch, SURVEY §3.1); float sources are u8 PNGs so
+        # the cache roundtrip is exact.  Augmentation needs the raw image,
+        # so the cache is bypassed when colour augmentation is on.
+        use_cache = bool(cfg.get("gt_cache", False)) and not (
+            cfg.get("dataset_color_augment", False) and self.mode == "train")
+        cpath = self._cache_path(stem) if use_cache else None
+        if cpath and osp.exists(cpath):
+            sample = self._cache_load(cpath)
+            sample["image_name"] = stem[:11]
+            return sample
 
         img = _png(p["image"])
         if img.ndim == 2:
@@ -202,6 +256,8 @@ class LaserLaneProposal:
             sample["initp"] = initp.astype(np.float32)
             sample["endp"] = endp.astype(np.float32)
             sample["mask"] = mask.astype(np.uint8)
+        if cpath:
+            self._cache_store(cpath, sample)
         return sample
 
 

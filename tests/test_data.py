@@ -211,3 +211,26 @@ def test_prop_inst_windows_equal_prop_bi_seg(seed):
     derived = (inst_pad[:, win_raw].transpose(1, 0, 2)
                == gt["prop_best"][:, None, None]).astype(np.uint8)
     np.testing.assert_array_equal(derived, gt["prop_bi_seg"])
+
+
+def test_gt_cache_roundtrip_exact(tmp_path, tiny_cfg):
+    """cfg.gt_cache: the on-disk sample cache must reproduce the built
+    sample bit-for-bit (float sources are u8 PNGs, so u8 storage is
+    lossless)."""
+    from lanemapping_tpu.data.laserlane import LaserLaneProposal
+    from lanemapping_tpu.data.synthetic import generate_dataset
+
+    cfg = tiny_cfg
+    img = cfg.list_img_size_xy[0]
+    generate_dataset(str(tmp_path), n_tiles=2, img=img, seed=3)
+    cfg.gt_cache = True
+    ds = LaserLaneProposal(str(tmp_path), mode="train", cfg=cfg)
+    a = ds[0]   # builds + stores
+    b = ds[0]   # cached load
+    assert set(a) == set(b)
+    for k in a:
+        if k == "image_name":
+            assert a[k] == b[k]
+            continue
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)

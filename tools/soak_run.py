@@ -47,6 +47,7 @@ def _train_cfg(args):
     cfg.batch_size = args.batch
     cfg.epochs = args.epochs
     cfg.eval_ep = args.eval_ep
+    cfg.gt_cache = True
     cfg.save_ep = max(2, args.epochs // 4)
     split_file = os.path.join(args.data_root, "data_split-shuffle.json")
     with open(split_file) as f:

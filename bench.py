@@ -58,7 +58,7 @@ def main_train():
                                        "Proj_polyline_fpn_vit_vertex_2.py"))
     # hardware-run training shape (ARCHITECTURE.md round-2 run)
     cfg.train_compute_dtype = "bfloat16"
-    cfg.remat = True
+    cfg.remat = os.environ.get("BENCH_REMAT", "1") == "1"
     fused = os.environ.get("BENCH_FUSED_SEG", "1") == "1"
     cfg.fused_seg_focal = fused
     cfg.seg_focal_chunks = int(os.environ.get("BENCH_SEG_CHUNKS", "1"))
@@ -151,6 +151,7 @@ def main_train():
         "img": img,
         "fused_seg_focal": fused,
         "seg_focal_chunks": cfg.seg_focal_chunks,
+        "remat": cfg.remat,
         "step_flops": step_flops,
         "train_mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
         "tiles_per_sec_train": round(B / max(sec_per_step, 1e-9), 2),

@@ -42,17 +42,56 @@ def random_lane_seqs(rng: np.random.RandomState, img: int = 1152,
     return seqs
 
 
+def _densify(seq: np.ndarray, step: float = 1.0) -> np.ndarray:
+    """Resample a [V,2] polyline at ~``step``-px arc-length spacing."""
+    d = np.hypot(*np.diff(seq, axis=0).T)
+    arc = np.concatenate([[0.0], np.cumsum(d)])
+    n = max(2, int(arc[-1] / step))
+    t = np.linspace(0.0, arc[-1], n)
+    return np.stack([np.interp(t, arc, seq[:, 0]),
+                     np.interp(t, arc, seq[:, 1])], axis=1), t
+
+
 def render_intensity_image(seqs, img: int = 1152,
-                           rng: np.random.RandomState = None) -> np.ndarray:
-    """Grayscale-ish BEV intensity PNG: noisy ground + bright lane marks."""
+                           rng: np.random.RandomState = None,
+                           semantics=None) -> np.ndarray:
+    """Grayscale-ish BEV intensity PNG: noisy ground + bright lane marks.
+
+    When ``semantics`` is given, dashed lanes (class 2) render as dash/gap
+    segments (~3 m dash / 3 m gap at 0.05 m/px), like real road paint —
+    without this the solid/dashed class is unlearnable from the image and
+    semantic F1 caps near 0.5 regardless of training.  Labels stay
+    continuous polylines either way (matching WHU-Lane's annotation style).
+    """
     rng = rng or np.random.RandomState(0)
     ground = rng.normal(60, 15, (img, img)).clip(0, 255)
     marks = np.zeros((img, img), dtype=np.float64)
-    for s in seqs:
-        for d in (-1, 0, 1):  # ~3 px wide marks
-            shifted = s.copy()
-            shifted[:, 1] = np.clip(shifted[:, 1] + d, 0, img - 1)
-            rasterize_polyline(marks, shifted, 1.0)
+    for i, s in enumerate(seqs):
+        dashed = semantics is not None and int(semantics[i]) == 2
+        if dashed:
+            dense, arc = _densify(np.asarray(s, np.float64), step=1.0)
+            period, duty = 120.0, 60.0  # px: 3 m dash, 3 m gap
+            phase = rng.uniform(0, period)
+            keep = ((arc + phase) % period) < duty
+            pieces = []
+            run = []
+            for p, k in zip(dense, keep):
+                if k:
+                    run.append(p)
+                elif run:
+                    pieces.append(np.asarray(run))
+                    run = []
+            if run:
+                pieces.append(np.asarray(run))
+        else:
+            pieces = [np.asarray(s, np.float64)]
+        for piece in pieces:
+            if len(piece) < 2:
+                continue
+            for d in (-1, 0, 1):  # ~3 px wide marks
+                shifted = piece.copy()
+                shifted[:, 1] = np.clip(shifted[:, 1] + d, 0, img - 1)
+                rasterize_polyline(marks, shifted, 1.0)
     intensity = np.where(marks > 0, rng.normal(220, 15, (img, img)), ground)
     intensity = intensity.clip(0, 255).astype(np.uint8)
     return np.stack([intensity] * 3, axis=-1)  # 3-channel like cropped_tiff
@@ -103,7 +142,8 @@ def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
         seqs, semantics, orients = select_and_order_lanes(
             seqs, semantics, top_k=20, col_range=(0, img))
         maps = render_labels(seqs, semantics, orients, img, img)
-        Image.fromarray(render_intensity_image(seqs, img, rng)).save(
+        Image.fromarray(render_intensity_image(
+            seqs, img, rng, semantics=semantics)).save(
             os.path.join(img_dir, stem + ".png"))
         Image.fromarray(maps["semantic"]).save(
             os.path.join(dirs["semantic"], stem + ".png"))

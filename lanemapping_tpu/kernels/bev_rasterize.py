@@ -54,11 +54,16 @@ def _bin_kernel(rows_ref, cols_ref, vals_ref, sums_ref, cnts_ref, *,
             col_ids = jax.lax.broadcasted_iota(
                 jnp.int32, (P, col_tile), 1) + t * col_tile
             c_onehot = (col_ids == cols[:, None]).astype(jnp.float32)
+            # HIGHEST precision: the MXU's default f32 dot rounds through
+            # bf16 passes (measured on v5e: 0.06 max-abs error on unit
+            # intensity sums); binning must be exact
             sums_ref[r0:r0 + band_rows, t * col_tile:(t + 1) * col_tile] = \
-                jnp.dot(r_vals, c_onehot, preferred_element_type=jnp.float32)
+                jnp.dot(r_vals, c_onehot, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             cnts_ref[r0:r0 + band_rows, t * col_tile:(t + 1) * col_tile] = \
                 jnp.dot(r_onehot, c_onehot,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
 
 
 def _band_points(rows: jnp.ndarray, cols: jnp.ndarray, vals: jnp.ndarray,

@@ -3,8 +3,12 @@
 Replaces the reference's CUDA voxelization stack — mmdet3d
 ``VoxelizationByGridShape`` + per-voxel mean reduce
 (`/root/reference/baseline/models/pcencoder/lidarencoder.py:97-128`) and the
-offline Las2BEV intensity rasterizer — with shape-static XLA scatter math
-plus a Pallas binning kernel for the hot path (`kernels/bev_rasterize.py`).
+offline Las2BEV intensity rasterizer — with shape-static XLA scatter math.
+A Pallas MXU-contraction binning kernel exists (`kernels/bev_rasterize.py`)
+but MEASURED SLOWER on v5e (49 vs 189 ms/call at 1M pts, 576x576x10 grid —
+VOXELIZER_BENCH.json): XLA's sorted-scatter avoids the one-hot approach's
+N*band_rows*width FLOPs, so this scatter path is the measured default
+(`use_pallas_voxelizer=False`).
 
 Semantics note: the CUDA hard-voxelizer keeps at most ``max_num_points=10``
 points per voxel before the mean (a GPU memory cap, config

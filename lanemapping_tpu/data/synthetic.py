@@ -115,6 +115,75 @@ def write_transform_params(path: str, stem: str,
         f.write("\n".join(lines))
 
 
+def lane_structured_points(seqs, semantics, img: int,
+                           rng: np.random.RandomState, n_pts: int,
+                           pc_range=(-15.0, -25.0, -2.0, 15.0, 25.0, 2.0),
+                           lane_frac: float = 0.15) -> np.ndarray:
+    """MLS-like [N,4] cloud CONSISTENT with the tile's BEV labels: mostly
+    low-intensity ground returns plus bright road-paint returns sampled
+    along the lane polylines (dash/gap segments for class-2 lanes, like
+    `render_intensity_image`).
+
+    The label pixel -> world mapping inverts the LidarEncoder's frame
+    convention (`models/lidar_encoder.py`: voxel grid [Y,X] then a row
+    flip to the annotation frame): label row 0 maps to y = y_max, label
+    col 0 to x = x_min.  A model trained on these clouds can only reach
+    high F1 if that alignment is right, so the synthetic LiDAR training
+    run doubles as a frame-convention check.
+    """
+    x0, y0, z0, x1, y1, z1 = pc_range
+
+    def rc_to_xy(rows, cols):
+        x = x0 + (cols / img) * (x1 - x0)
+        y = y1 - (rows / img) * (y1 - y0)
+        return x, y
+
+    n_lane = int(n_pts * lane_frac)
+    pieces = []
+    for i, s in enumerate(seqs):
+        dense, arc = _densify(np.asarray(s, np.float64), step=1.0)
+        if semantics is not None and int(semantics[i]) == 2:
+            # dash/gap paint, scaled with tile size like the image render
+            period = 120.0 * img / 1152.0
+            keep = ((arc + rng.uniform(0, period)) % period) < (period / 2)
+            dense = dense[keep]
+        if len(dense):
+            pieces.append(dense)
+    if pieces and n_lane:
+        paint = np.concatenate(pieces, axis=0)
+        take = rng.randint(0, len(paint), n_lane)
+        rows = paint[take, 0] + rng.normal(0.0, 0.7, n_lane)
+        cols = paint[take, 1] + rng.normal(0.0, 1.2, n_lane)  # ~3 px marks
+        lx, ly = rc_to_xy(np.clip(rows, 0, img - 1),
+                          np.clip(cols, 0, img - 1))
+        lane_pts = np.stack([
+            lx, ly,
+            rng.normal(0.0, 0.05, n_lane),            # paint sits on ground
+            rng.normal(26000.0, 2500.0, n_lane),      # bright returns
+        ], axis=1)
+    else:
+        lane_pts = np.zeros((0, 4))
+        n_lane = 0
+    n_ground = n_pts - n_lane
+    n_clutter = int(n_ground * 0.03)
+    n_ground -= n_clutter
+    ground = np.stack([
+        rng.uniform(x0, x1, n_ground),
+        rng.uniform(y0, y1, n_ground),
+        rng.normal(0.0, 0.12, n_ground),
+        rng.normal(3000.0, 900.0, n_ground),          # asphalt returns
+    ], axis=1)
+    clutter = np.stack([                               # poles/vehicles/noise
+        rng.uniform(x0, x1, n_clutter),
+        rng.uniform(y0, y1, n_clutter),
+        rng.uniform(z0, z1, n_clutter),
+        rng.uniform(900.0, 30000.0, n_clutter),
+    ], axis=1)
+    pts = np.concatenate([lane_pts, ground, clutter], axis=0)
+    pts[:, 3] = np.clip(pts[:, 3], 810.0, 32000.0)
+    return pts[rng.permutation(len(pts))]
+
+
 def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
                      n_lanes_range=(3, 7), seed: int = 0,
                      splits=None, with_params: bool = False,
@@ -164,14 +233,8 @@ def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
             from .las import write_las_points
             pdir = os.path.join(root, "las")
             os.makedirs(pdir, exist_ok=True)
-            # point cloud roughly consistent with the BEV frame
-            n_pts = points_per_tile
-            pts = np.concatenate([
-                rng.uniform(-14, 14, (n_pts, 1)),
-                rng.uniform(-24, 24, (n_pts, 1)),
-                rng.uniform(-1.5, 1.5, (n_pts, 1)),
-                rng.uniform(900, 30000, (n_pts, 1)),
-            ], axis=1)
+            pts = lane_structured_points(seqs, semantics, img, rng,
+                                         points_per_tile)
             write_las_points(os.path.join(pdir, stem + ".las"), pts)
 
     if splits is None:

@@ -69,3 +69,65 @@ def test_lidar_runner_validate_and_infer(lidar_cfg, tmp_path):
     runner.infer_and_export(loader, out_dir, max_batches=1)
     jsons = [f for f in os.listdir(out_dir) if f.endswith(".json")]
     assert jsons, "inference must write lane-seq JSONs from raw points"
+
+
+def test_structured_points_align_with_labels():
+    """`lane_structured_points` must place its bright paint returns so that
+    the voxel grid, AFTER the LidarEncoder's row flip
+    (`models/lidar_encoder.py` "flip rows to match the BEV annotation
+    frame", ref `lidarencoder.py:70`), lines up with the tile's label
+    pixels — the alignment that makes the LiDAR config learnable."""
+    import jax.numpy as jnp
+    from lanemapping_tpu.data.label_gen import (render_labels,
+                                                select_and_order_lanes)
+    from lanemapping_tpu.data.synthetic import (lane_structured_points,
+                                                random_lane_seqs)
+    from lanemapping_tpu.ops.voxelize import voxelize_mean
+
+    img, grid = 192, (96, 96, 4)
+    pc_range = (-15.0, -25.0, -2.0, 15.0, 25.0, 2.0)
+    rng = np.random.RandomState(11)
+    seqs = random_lane_seqs(rng, img, 5)
+    semantics = [int(rng.randint(1, 3)) for _ in seqs]
+    seqs, semantics, orients = select_and_order_lanes(
+        seqs, semantics, top_k=20, col_range=(0, img))
+    maps = render_labels(seqs, semantics, orients, img, img)
+
+    pts = lane_structured_points(seqs, semantics, img, rng, 60000,
+                                 pc_range=pc_range)
+    # normalise intensity like data/las.load_lidar_points
+    inten = (np.clip(pts[:, 3], 800.0, 33000.0) - 800.0) / 33000.0
+    pts = np.concatenate([pts[:, :3], inten[:, None]], axis=1)
+    vox = voxelize_mean(jnp.asarray(pts, jnp.float32),
+                        jnp.ones(len(pts), bool), pc_range, grid)
+    # [Z,Y,X,C] -> per-(Y,X)-cell max mean-intensity, then the row flip
+    cell = np.asarray(vox[..., 3].max(axis=0))[::-1, :]
+    # paint returns are DENSE (~13/cell); the 3% clutter is ~1 bright
+    # point/cell and would read as paint under max-over-z — mask cells
+    # with <3 bright points so the check isolates the paint geometry
+    lo = np.asarray(pc_range[:2])
+    size = (np.asarray(pc_range[3:5]) - lo) / 96.0
+    bxy = np.floor((pts[pts[:, 3] > 0.5][:, :2] - lo) / size).astype(int)
+    bxy = bxy[(bxy >= 0).all(1) & (bxy < 96).all(1)]
+    n_b = np.zeros((96, 96))
+    np.add.at(n_b, (bxy[:, 1], bxy[:, 0]), 1.0)  # index [iy, ix]
+    dense_paint = n_b[::-1, :] >= 3
+    bright = (cell > 0.45) & dense_paint  # paint ~0.76, asphalt ~0.07
+
+    lane_px = maps["instance"] > 0
+    lane_cell = lane_px.reshape(96, 2, 96, 2).any(axis=(1, 3))
+    # dilate by 1 cell: point jitter is ~1.2 px ~ 1 cell
+    pad = np.pad(lane_cell, 1)
+    dilated = np.zeros_like(lane_cell)
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            dilated |= pad[dr:dr + 96, dc:dc + 96]
+
+    n_bright = int(bright.sum())
+    assert n_bright > 50, "structured cloud produced no bright paint cells"
+    hit = float((bright & dilated).sum()) / n_bright
+    assert hit > 0.9, f"only {hit:.2%} of bright cells fall on label lanes"
+    # solid lanes are fully covered; dashed lanes ~half -> expect plenty of
+    # label cells lit overall
+    cover = float((bright & lane_cell).sum()) / lane_cell.sum()
+    assert cover > 0.35, f"paint covers only {cover:.2%} of label cells"

@@ -184,6 +184,40 @@ def lane_structured_points(seqs, semantics, img: int,
     return pts[rng.permutation(len(pts))]
 
 
+def add_structured_las(root: str, points_per_tile: int = 1 << 19,
+                       seed: int = 0, stems=None) -> int:
+    """Add a ``las/`` directory of lane-structured clouds to an EXISTING
+    synthetic dataset root, rebuilt from the saved sparse_seq sidecars —
+    so the raw-LiDAR configs (`LaserLaneProposalEgo`) can train on the
+    same tiles, labels and splits as the BEV image configs."""
+    from PIL import Image
+    from .las import write_las_points
+
+    seq_dir = os.path.join(root, "labels", "sparse_seq")
+    las_dir = os.path.join(root, "las")
+    os.makedirs(las_dir, exist_ok=True)
+    if stems is None:
+        stems = sorted(f[:-5] for f in os.listdir(seq_dir)
+                       if f.endswith(".json"))
+    rng = np.random.RandomState(seed)
+    n_done = 0
+    for stem in stems:
+        out = os.path.join(las_dir, stem + ".las")
+        if os.path.isfile(out):
+            continue
+        with open(os.path.join(seq_dir, stem + ".json")) as f:
+            recs = json.load(f)
+        seqs = [np.asarray(r["seq"], np.float64) for r in recs]
+        semantics = [int(r["semantic"]) for r in recs]
+        img = Image.open(os.path.join(root, "labels", "sparse_semantic",
+                                      stem + ".png")).size[0]
+        pts = lane_structured_points(seqs, semantics, img, rng,
+                                     points_per_tile)
+        write_las_points(out, pts)
+        n_done += 1
+    return n_done
+
+
 def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
                      n_lanes_range=(3, 7), seed: int = 0,
                      splits=None, with_params: bool = False,

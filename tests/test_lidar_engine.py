@@ -131,3 +131,22 @@ def test_structured_points_align_with_labels():
     # label cells lit overall
     cover = float((bright & lane_cell).sum()) / lane_cell.sum()
     assert cover > 0.35, f"paint covers only {cover:.2%} of label cells"
+
+
+def test_add_structured_las_retrofits_existing_root(tmp_path):
+    """An image-only dataset root gains a las/ tree rebuilt from its seq
+    sidecars, making it drivable by LaserLaneProposalEgo."""
+    from lanemapping_tpu.data.las import load_lidar_points
+    from lanemapping_tpu.data.synthetic import (add_structured_las,
+                                                generate_dataset)
+    root = str(tmp_path / "root")
+    generate_dataset(root, n_tiles=2, img=192, seed=9)
+    n = add_structured_las(root, points_per_tile=5000, seed=1)
+    assert n == 2
+    las = sorted(os.listdir(os.path.join(root, "las")))
+    assert len(las) == 2
+    pts = load_lidar_points(os.path.join(root, "las", las[0]))
+    assert pts.shape == (5000, 4)
+    assert np.isfinite(pts).all()
+    # idempotent: existing files are skipped
+    assert add_structured_las(root, points_per_tile=5000, seed=1) == 0

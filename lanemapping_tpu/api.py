@@ -43,13 +43,12 @@ class LaneMapper:
         """[B,H,W,3] float tiles -> list of per-tile lane dicts:
         {'lanes': [ {row, col, semantic} vertices ], 'endpoints': [M,2]}"""
         import jax
-        from .decode.lane_decode import decode_lanes, host_decode_view
         from .decode.postprocess import lane_maps_from_decode
         from .tools.export_lanes import lane_records
 
-        out = self.runner._eval_step(self.runner.state,
-                                     jax.device_put(np.asarray(tiles)))
-        dec = jax.device_get(host_decode_view(decode_lanes(out, self.cfg)))
+        # one fused jitted forward+decode dispatch (see Runner._eval_decode)
+        dec = jax.device_get(self.runner._eval_decode(
+            self.runner.state, jax.device_put(np.asarray(tiles))))
         maps = lane_maps_from_decode(dec, self.cfg)
         results = []
         for b in range(len(tiles)):

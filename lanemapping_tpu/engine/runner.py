@@ -96,6 +96,17 @@ class Runner:
                             use_lidar=self.use_lidar),
             donate_argnums=(0,))
         self._eval_step = jax.jit(make_eval_step(self.model))
+        # fused forward + XLA lane decode in ONE jitted program (the
+        # stream_map dispatch): an unjitted decode costs one ~45 ms tunnel
+        # round-trip PER OP on a remote chip and churns a client buffer per
+        # intermediate — measured as multi-GB/validate host growth
+        eval_fn = make_eval_step(self.model)
+
+        def _eval_decode_fn(state, x):
+            from ..decode.lane_decode import decode_lanes, host_decode_view
+            return host_decode_view(decode_lanes(eval_fn(state, x), cfg))
+
+        self._eval_decode = jax.jit(_eval_decode_fn)
         self.best_metric = -1.0
 
         if cfg.get("load_from"):
@@ -128,8 +139,6 @@ class Runner:
         `runner.py:690-868` infer_lane_coordinate_endpoint_semantics):
         decode + postprocess every tile, write lane-seq JSONs and optional
         overlay PNGs."""
-        import jax as _jax
-        from ..decode.lane_decode import decode_lanes
         from ..decode.postprocess import lane_maps_from_decode
         from ..tools.export_lanes import lane_records
         import json as _json
@@ -138,10 +147,8 @@ class Runner:
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
-            out = self._eval_step(self.state, self._eval_input(batch))
-            from ..decode.lane_decode import host_decode_view
-            dec = self._local_rows(host_decode_view(
-                decode_lanes(out, self.cfg)))
+            dec = self._local_rows(
+                self._eval_decode(self.state, self._eval_input(batch)))
             maps = lane_maps_from_decode(dec, self.cfg)
             names = batch.get("image_name",
                               [f"b{i}_{j}" for j in
@@ -414,7 +421,6 @@ class Runner:
 
     def _validate_lanes(self, loader, max_batches) -> Dict:
         """Lane-coordinate validation (reference `runner.py:223-353`)."""
-        from ..decode.lane_decode import decode_lanes
         from ..decode.postprocess import lane_maps_from_decode
         from ..utils.metrics import cal_coor_measures, \
             eval_metric_endp_detector
@@ -422,14 +428,13 @@ class Runner:
         coor_f1s, endp_f1s = [], []
         sem_counts = {"tp": 0, "n_pred": 0, "dg": 0, "n_gt": 0}
         saw_mask = False
-        from ..decode.lane_decode import host_decode_view
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
-            out = self._eval_step(self.state, self._eval_input(batch))
-            # read back only what the host postprocess consumes (this
-            # process's rows under multi-host)
-            dec = self._local_rows(host_decode_view(decode_lanes(out, cfg)))
+            # fused jitted forward+decode; read back only what the host
+            # postprocess consumes (this process's rows under multi-host)
+            dec = self._local_rows(
+                self._eval_decode(self.state, self._eval_input(batch)))
             maps = lane_maps_from_decode(dec, cfg)
             for b in range(batch["proj"].shape[0]):
                 label = batch["lc_coor_raw"][b]

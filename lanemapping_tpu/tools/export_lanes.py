@@ -36,15 +36,15 @@ def lane_records(ply: np.ndarray, row_anchor_stride: int = 8,
 
 
 def export_lane_seqs(runner, loader, out_dir: str, max_batches=None):
-    from ..decode.lane_decode import decode_lanes, host_decode_view
     from ..decode.postprocess import lane_maps_from_decode
 
     os.makedirs(out_dir, exist_ok=True)
     for i, batch in enumerate(loader):
         if max_batches is not None and i >= max_batches:
             break
-        out = runner._eval_step(runner.state, runner._eval_input(batch))
-        dec = jax.device_get(host_decode_view(decode_lanes(out, runner.cfg)))
+        # one fused jitted forward+decode dispatch (see Runner._eval_decode)
+        dec = jax.device_get(runner._eval_decode(runner.state,
+                                                 runner._eval_input(batch)))
         maps = lane_maps_from_decode(dec, runner.cfg)
         names = batch.get("image_name",
                           [f"b{i}_{j}" for j in range(len(batch["proj"]))])

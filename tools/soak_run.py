@@ -88,6 +88,8 @@ def stage_train(args, rec):
 
 
 def _validate_with(args, ckpt, overrides, max_batches=None):
+    import gc
+    import jax
     from lanemapping_tpu.engine.runner import Runner
     from lanemapping_tpu.engine.checkpoint import load_model
     cfg = _train_cfg(args)
@@ -95,10 +97,18 @@ def _validate_with(args, ckpt, overrides, max_batches=None):
         setattr(cfg, k, v)
     runner = Runner(cfg, log_dir=os.path.join(args.log_dir, "eval_tmp"))
     runner.state = load_model(ckpt, runner.state)
+    # eval-only: never re-save a "best" checkpoint from inside validate
+    runner.best_metric = float("inf")
     t0 = time.time()
     m = runner.validate(max_batches=max_batches)
     m = {k: round(float(v), 4) for k, v in m.items()}
     m["wall_s"] = round(time.time() - t0, 1)
+    # successive Runners accumulate jit executables + their client buffers;
+    # this process runs up to 3 of them back-to-back (the round-3 soak was
+    # OOM-killed here before the fused-eval fix)
+    del runner
+    jax.clear_caches()
+    gc.collect()
     return m
 
 
@@ -118,6 +128,22 @@ def stage_refkit(args, rec):
         "default": _validate_with(args, ckpt, {}),
         "ref_exact": _validate_with(args, ckpt,
                                     {"ref_exact_occupancy_filter": True}),
+    }
+
+
+def stage_refkit_lidar(args, rec):
+    """Reference-exact LiDAR deltas on a TRAINED checkpoint (VERDICT r2 #5):
+    first-10-points voxel mean (mmdet3d ``max_num_points`` cap) and bicubic
+    align_corners=False upsample (ref `lidarencoder.py:70-81`)."""
+    ckpt = rec.get("train", {}).get("ckpt") or args.ckpt
+    assert ckpt, "refkit_lidar stage needs a checkpoint"
+    rec["ref_exact_lidar"] = {
+        "ckpt": ckpt,
+        "default": _validate_with(args, ckpt, {}),
+        "voxel_cap_first10": _validate_with(
+            args, ckpt, {"ref_exact_voxel_cap": True}),
+        "bicubic_upsample": _validate_with(
+            args, ckpt, {"ref_exact_bicubic_upsample": True}),
     }
 
 
@@ -233,8 +259,8 @@ def main():
         "date": time.strftime("%Y-%m-%d"),
     })
     stages = {"train": stage_train, "endp": stage_endp,
-              "refkit": stage_refkit, "stream": stage_stream,
-              "lidar": stage_lidar}
+              "refkit": stage_refkit, "refkit_lidar": stage_refkit_lidar,
+              "stream": stage_stream, "lidar": stage_lidar}
     for name in args.stages.split(","):
         name = name.strip()
         if not name:

@@ -39,11 +39,19 @@ def _save(out_path, record):
 
 
 def _train_cfg(args):
+    import ast
     import json as _json
     from lanemapping_tpu.config.config import Config
     cfg = Config.fromfile(args.config)
     cfg.train_compute_dtype = "bfloat16"
     cfg.remat = True
+    for kv in args.set or []:
+        k, _, v = kv.partition("=")
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        setattr(cfg, k, v)
     cfg.batch_size = args.batch
     cfg.epochs = args.epochs
     cfg.eval_ep = args.eval_ep
@@ -208,14 +216,16 @@ def stage_lidar(args, rec):
            os.path.join(args.log_dir, "map_out_lidar"), "--split", "all",
            "--batch", "4", "--bench-json",
            f"max_points={args.lidar_points}"]
-    if args.lidar_ckpt:
-        cmd += ["--ckpt", args.lidar_ckpt]
+    lidar_ckpt = args.lidar_ckpt or rec.get("train", {}).get("ckpt")
+    if lidar_ckpt:
+        cmd += ["--ckpt", lidar_ckpt]
     if args.use_pallas_voxelizer:
         cmd += ["use_pallas_voxelizer=True"]
     p, bench = _run_stream(cmd)
     entry = {"wall_s": round(time.time() - t0, 1), "bench": bench,
              "rc": p.returncode,
              "points_per_tile": args.lidar_points,
+             "ckpt": lidar_ckpt,
              "use_pallas_voxelizer": bool(args.use_pallas_voxelizer)}
     if bench and bench.get("value"):
         entry["points_per_sec"] = round(
@@ -244,6 +254,8 @@ def main():
     ap.add_argument("--lidar-points", type=int, default=1 << 19)
     ap.add_argument("--lidar-ckpt", default=None)
     ap.add_argument("--use-pallas-voxelizer", action="store_true")
+    ap.add_argument("--set", action="append", default=[],
+                    help="extra cfg overrides key=value (literal-evaled)")
     args = ap.parse_args()
 
     rec = {}

@@ -95,16 +95,29 @@ class Runner:
                             compute_dtype=compute_dtype,
                             use_lidar=self.use_lidar),
             donate_argnums=(0,))
-        self._eval_step = jax.jit(make_eval_step(self.model))
+        eval_fn = make_eval_step(self.model)
+        use_lidar = self.use_lidar
+
+        def _eval_prep(x):
+            # u8 (possibly mono) image shipped by _eval_input: exact /255
+            # in f32, broadcast a mono tile back to 3 channels on device
+            if not use_lidar and x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+                if x.shape[-1] == 1:
+                    x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+            return x
+
+        self._eval_step = jax.jit(
+            lambda state, x: eval_fn(state, _eval_prep(x)))
         # fused forward + XLA lane decode in ONE jitted program (the
         # stream_map dispatch): an unjitted decode costs one ~45 ms tunnel
         # round-trip PER OP on a remote chip and churns a client buffer per
         # intermediate — measured as multi-GB/validate host growth
-        eval_fn = make_eval_step(self.model)
 
         def _eval_decode_fn(state, x):
             from ..decode.lane_decode import decode_lanes, host_decode_view
-            return host_decode_view(decode_lanes(eval_fn(state, x), cfg))
+            return host_decode_view(
+                decode_lanes(eval_fn(state, _eval_prep(x)), cfg))
 
         self._eval_decode = jax.jit(_eval_decode_fn)
         self.best_metric = -1.0
@@ -271,6 +284,15 @@ class Runner:
             elif u8_ok and k in self._U8_ROUNDTRIP:
                 v = np.rint(np.asarray(v, np.float32) * 255.0).astype(
                     np.uint8)
+                # mono BEV tiles (intensity replicated to 3 PNG channels,
+                # ref `laserlane_proposals.py:85-98`) ship one channel;
+                # `model_input` broadcasts back on device (bit-identical,
+                # 3x less H2D).  Per-batch check: a mixed dataset at most
+                # costs one extra jit specialisation.
+                if k == "proj" and v.ndim == 4 and v.shape[-1] == 3 and \
+                        np.array_equal(v[..., 0], v[..., 1]) and \
+                        np.array_equal(v[..., 1], v[..., 2]):
+                    v = np.ascontiguousarray(v[..., :1])
             elif bf16 and k in self._BF16_SHIP:
                 v = np.asarray(v).astype(jnp.bfloat16, copy=False)
             db[k] = v
@@ -284,6 +306,18 @@ class Runner:
         the eval analogue of `parallel.mesh.shard_batch`."""
         from .state import model_input
         inp = model_input(batch, self.use_lidar)
+        if not self.use_lidar and \
+                not self.cfg.get("dataset_color_augment", False):
+            # PNG sources are uint8, so the u8 roundtrip is exact and cuts
+            # eval H2D 4x (16x with the mono squeeze) — the eval analogue
+            # of `_device_batch`'s shipping; `_eval_decode` re-normalises
+            # on device
+            v = np.rint(np.asarray(inp, np.float32) * 255.0).astype(np.uint8)
+            if v.ndim == 4 and v.shape[-1] == 3 and \
+                    np.array_equal(v[..., 0], v[..., 1]) and \
+                    np.array_equal(v[..., 1], v[..., 2]):
+                v = np.ascontiguousarray(v[..., :1])
+            inp = v
         if jax.process_count() > 1:
             from ..parallel.mesh import batch_sharding
             sh = batch_sharding(self.mesh)

@@ -45,6 +45,10 @@ def model_input(batch: Dict, use_lidar: bool = False, compute_dtype=None):
         proj = proj.astype(jnp.float32) / 255.0
         if compute_dtype is not None:
             proj = proj.astype(compute_dtype)
+    if proj.shape[-1] == 1:
+        # mono tile shipped as one channel (see Runner._device_batch):
+        # broadcast back to the 3-channel input the encoder expects
+        proj = jnp.broadcast_to(proj, proj.shape[:-1] + (3,))
     return proj
 
 

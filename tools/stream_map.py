@@ -105,8 +105,13 @@ def main():
         else:
             # normalize in f32 (exact /255), then drop to the compute dtype
             # so the network actually runs bf16 like bench.py (f32 input +
-            # bf16 kernels would silently promote every layer back to f32)
+            # bf16 kernels would silently promote every layer back to f32).
+            # A single-channel input is a mono tile shipped once (see
+            # to_u8): broadcasting it back to 3 channels on device is
+            # bit-identical to uploading the replicated channels.
             x = (inp.astype(jnp.float32) / 255.0).astype(compute_dtype)
+            if x.shape[-1] == 1:
+                x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
         dec = decode_lanes(eval_step(state, x), cfg)
         keep = host_decode_view(dec)
         if not need_detail:
@@ -158,7 +163,17 @@ def main():
             else jax.device_put(inp)
 
     def to_u8(proj):
-        return np.rint(np.asarray(proj) * 255.0).astype(np.uint8)
+        a = np.rint(np.asarray(proj) * 255.0).astype(np.uint8)
+        # BEV intensity tiles are one LiDAR return intensity replicated to
+        # 3 PNG channels (ref `laserlane_proposals.py:85-98` loads them
+        # unchanged); when a whole batch is mono, ship ONE channel and
+        # broadcast on device — 3x less H2D, bit-identical activations.
+        # Mixed/true-RGB batches ship all 3 (jit specialises per shape).
+        if a.ndim == 4 and a.shape[-1] == 3 and \
+                np.array_equal(a[..., 0], a[..., 1]) and \
+                np.array_equal(a[..., 1], a[..., 2]):
+            return np.ascontiguousarray(a[..., :1])
+        return a
 
     def to_input(batch):
         if use_lidar:

@@ -72,3 +72,42 @@ def test_checkpoint_roundtrip(tiny_cfg, synth_root, tmp_path):
     assert len(leaf_a) == len(leaf_b)
     for x, y in zip(leaf_a, leaf_b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_mono_channel_shipping_is_bit_identical(tiny_cfg, synth_root,
+                                                tmp_path):
+    """BEV intensity tiles are one channel replicated to 3; `_device_batch`
+    ships such batches as ONE uint8 channel and `model_input` broadcasts
+    back on device.  The forward pass must be bit-identical to shipping
+    the replicated RGB (same /255-quantised values, f32 math)."""
+    import jax.numpy as jnp
+    from lanemapping_tpu.data.loader import build_dataloader
+    from lanemapping_tpu.engine.runner import Runner
+    from lanemapping_tpu.engine.state import model_input
+
+    cfg = tiny_cfg
+    _patch_cfg_paths(cfg, synth_root, tmp_path)
+    runner = Runner(cfg, log_dir=cfg.log_dir)
+    loader = build_dataloader(cfg.dataset.train, cfg, is_train=True)
+    batch = next(iter(loader))
+    proj = np.asarray(batch["proj"], np.float32)
+    assert proj.shape[-1] == 3 and np.array_equal(proj[..., 0], proj[..., 1])
+
+    db = runner._device_batch(batch)
+    assert db["proj"].shape[-1] == 1 and db["proj"].dtype == jnp.uint8
+
+    x_mono = model_input(db)                      # u8 mono -> f32 RGB
+    u8 = np.rint(proj * 255.0).astype(np.uint8)   # reference: full RGB ship
+    x_rgb = jnp.asarray(u8, jnp.uint8).astype(jnp.float32) / 255.0
+    np.testing.assert_array_equal(np.asarray(x_mono), np.asarray(x_rgb))
+
+    # ship the replicated-RGB reference through the SAME mesh sharding —
+    # comparing a sharded against an unsharded program would measure GSPMD
+    # fusion noise (~1e-7), not the mono path
+    from lanemapping_tpu.parallel.mesh import shard_batch
+    rgb = shard_batch({"proj": u8}, runner.mesh)["proj"]
+    out_mono = runner._eval_step(runner.state, db["proj"])
+    out_rgb = runner._eval_step(runner.state, rgb)
+    for k in out_mono:
+        np.testing.assert_array_equal(np.asarray(out_mono[k]),
+                                      np.asarray(out_rgb[k]), err_msg=k)

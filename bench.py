@@ -59,6 +59,7 @@ def main_train():
     # hardware-run training shape (ARCHITECTURE.md round-2 run)
     cfg.train_compute_dtype = "bfloat16"
     cfg.remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    cfg.remat_policy = os.environ.get("BENCH_REMAT_POLICY", "full")
     fused = os.environ.get("BENCH_FUSED_SEG", "1") == "1"
     cfg.fused_seg_focal = fused
     cfg.seg_focal_chunks = int(os.environ.get("BENCH_SEG_CHUNKS", "1"))
@@ -152,6 +153,7 @@ def main_train():
         "fused_seg_focal": fused,
         "seg_focal_chunks": cfg.seg_focal_chunks,
         "remat": cfg.remat,
+        "remat_policy": cfg.remat_policy if cfg.remat else None,
         "step_flops": step_flops,
         "train_mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
         "tiles_per_sec_train": round(B / max(sec_per_step, 1e-9), 2),
@@ -217,8 +219,14 @@ def main():
         "metric": "bev_tiles_per_sec_per_chip",
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/s",
-        # measured per-chip ratio vs the 25 tiles/s 4090 estimate
+        # measured per-chip ratio vs the 25 tiles/s 4090 estimate; the
+        # reference publishes no numbers (BASELINE.json.published == {}) so
+        # the denominator is an estimate — self-describe that in the record
         "vs_baseline": round(tiles_per_sec / BASELINE_4090_TILES_PER_SEC, 2),
+        "baseline_estimated": True,
+        "baseline_assumption": f"RTX-4090 {BASELINE_4090_TILES_PER_SEC} "
+                               "tiles/s estimate (BASELINE.md; reference "
+                               "publishes no throughput numbers)",
         "projected_8chip_vs_baseline": round(
             tiles_per_sec * N_CHIPS_TARGET / BASELINE_4090_TILES_PER_SEC, 2),
     }

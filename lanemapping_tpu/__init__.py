@@ -28,6 +28,7 @@ from .registry import (BACKBONE, DATASETS, HEADS, NET, PCENCODER,  # noqa: F401
 from .models import (column_head, legacy, lidar_encoder, nets,  # noqa: F401,E402
                      resnet_fpn, resnet_fpn_family, row_head, swin, vit)
 from .data import laserlane  # noqa: F401,E402
+from .data import las_tiles  # noqa: F401,E402
 from .models.nets import build_model  # noqa: F401
 from .api import LaneMapper  # noqa: F401
 

@@ -76,24 +76,25 @@ class LidarEncoder(nn.Module):
     grid: Sequence[int] = (576, 576, 10)
     backbone_channels: int = 128
     ds_ratio: int = 8
-    use_pallas_voxelizer: bool = False
     # reference-exact modes (default: TPU-native choices; see VERDICT r2 #5)
     max_points_per_voxel: Optional[int] = None  # ref: first-10-points mean
     bicubic_upsample: bool = False  # ref: bicubic align_corners=False
 
     @nn.compact
     def __call__(self, points, train: bool = False, mask=None):
-        """points: [B, N, 4] padded (x,y,z,intensity); mask: [B, N] valid."""
+        """points: [B, N, 4] padded (x,y,z,intensity); mask: [B, N] valid.
+
+        Voxelization is ALWAYS the XLA sorted-scatter path: a Pallas
+        MXU-contraction alternative was measured 3.8x SLOWER on v5e
+        (VOXELIZER_BENCH.json — the one-hot matmul costs O(N*band_rows*W)
+        FLOPs that scatter avoids) and is retired to
+        `tests/pallas_reference_bev.py` as an interpret-tested oracle.
+        """
         if mask is None:
             mask = jnp.ones(points.shape[:2], bool)
-        if self.use_pallas_voxelizer and self.max_points_per_voxel is None:
-            from ..kernels.bev_rasterize import voxelize_bev_zfold_pallas
-            vox_fn = lambda p, m: voxelize_bev_zfold_pallas(
-                p, m, self.pc_range, self.grid)
-        else:
-            vox_fn = lambda p, m: voxelize_bev_zfold(
-                p, m, self.pc_range, self.grid,
-                max_points_per_voxel=self.max_points_per_voxel)
+        vox_fn = lambda p, m: voxelize_bev_zfold(
+            p, m, self.pc_range, self.grid,
+            max_points_per_voxel=self.max_points_per_voxel)
         vox = jax.vmap(vox_fn)(points, mask)  # [B,Y,X,Z*C]
         feat = DenseZFoldEncoder(self.backbone_channels,
                                  name="zfold_encoder")(vox, train)
@@ -149,8 +150,6 @@ def build_lidar_encoder(cfg=None, Xn=144, Yn=144, out_channels=64,
                         backbone_channels=backbone_ch,
                         ds_ratio=cfg.get("gt_downsample_ratio", 8)
                         if cfg else 8,
-                        use_pallas_voxelizer=cfg.get(
-                            "use_pallas_voxelizer", False) if cfg else False,
                         max_points_per_voxel=max_ppv,
                         bicubic_upsample=cfg.get(
                             "ref_exact_bicubic_upsample", False)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.interp import resize_bilinear_ac
@@ -105,6 +106,10 @@ class FPNEncoder(nn.Module):
     fea_up_channels: int = 8
     seg_classes: int = 3
     remat: bool = False  # rematerialize trunk stages (trade FLOPs for HBM)
+    # 'full' recomputes everything in the stage; 'dots' saves matmul/conv
+    # outputs and recomputes only the cheap elementwise tail — less HBM
+    # saved, but the backward pass skips the second conv sweep
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
@@ -121,8 +126,10 @@ class FPNEncoder(nn.Module):
         # Optional rematerialization: under autodiff the big 288px stage
         # activations are recomputed in the backward pass instead of kept in
         # HBM — the jax.checkpoint analogue of gradient checkpointing.
-        Stage = nn.remat(ResStage, static_argnums=(2,)) if self.remat \
-            else ResStage
+        policy = {"dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                  "full": None}[self.remat_policy]
+        Stage = nn.remat(ResStage, static_argnums=(2,), policy=policy) \
+            if self.remat else ResStage
         c1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                      use_bias=False, name="conv1")(x)
         c1 = nn.relu(norm("bn1")(c1))
@@ -239,4 +246,5 @@ def build_postprojector2(resnet="resnet34", pretrained=True,
         replace_stride_with_dilation=tuple(replace_stride_with_dilation),
         featuremap_out_channel=cfg.featuremap_out_channel if cfg else 64,
         remat=cfg.get("remat", False) if cfg else False,
+        remat_policy=cfg.get("remat_policy", "full") if cfg else "full",
     )

@@ -4,11 +4,12 @@ Replaces the reference's CUDA voxelization stack — mmdet3d
 ``VoxelizationByGridShape`` + per-voxel mean reduce
 (`/root/reference/baseline/models/pcencoder/lidarencoder.py:97-128`) and the
 offline Las2BEV intensity rasterizer — with shape-static XLA scatter math.
-A Pallas MXU-contraction binning kernel exists (`kernels/bev_rasterize.py`)
-but MEASURED SLOWER on v5e (49 vs 189 ms/call at 1M pts, 576x576x10 grid —
-VOXELIZER_BENCH.json): XLA's sorted-scatter avoids the one-hot approach's
-N*band_rows*width FLOPs, so this scatter path is the measured default
-(`use_pallas_voxelizer=False`).
+A Pallas MXU-contraction binning kernel was tried and MEASURED SLOWER on v5e
+(49 vs 189 ms/call at 1M pts, 576x576x10 grid — VOXELIZER_BENCH.json): XLA's
+sorted-scatter avoids the one-hot approach's N*band_rows*width FLOPs.  The
+scatter path here is therefore the ONLY production path; the kernel is
+retired to `tests/pallas_reference_bev.py` as a parity oracle (its header
+records why binning is not a contraction-shaped op).
 
 Semantics note: the CUDA hard-voxelizer keeps at most ``max_num_points=10``
 points per voxel before the mean (a GPU memory cap, config
@@ -117,9 +118,13 @@ def voxelize_bev_zfold(points: jnp.ndarray, mask: jnp.ndarray,
 
 def rasterize_bev_intensity(points: jnp.ndarray, mask: jnp.ndarray,
                             pc_range: Sequence[float], img: int,
-                            intensity_col: int = 3) -> jnp.ndarray:
+                            intensity_col: int = 3,
+                            flip_rows: bool = False) -> jnp.ndarray:
     """Point -> BEV mean-intensity image [img, img] (the Las2BEV preprocess,
-    reference README.md:171-172).  Row = y bin, col = x bin."""
+    reference README.md:171-172).  Row = y bin, col = x bin; with
+    ``flip_rows`` row 0 = y_max (the annotation/tile frame used by the
+    synthetic label pixel->world mapping, `data/synthetic.py` rc_to_xy and
+    the LidarEncoder row flip)."""
     lo = jnp.asarray(pc_range[:2], points.dtype)
     hi = jnp.asarray(pc_range[3:5], points.dtype)
     size = (hi - lo) / img
@@ -127,9 +132,62 @@ def rasterize_bev_intensity(points: jnp.ndarray, mask: jnp.ndarray,
     ij = jnp.floor(rel).astype(jnp.int32)
     valid = jnp.all((ij >= 0) & (ij < img), axis=1) & mask
     ij = jnp.clip(ij, 0, img - 1)
-    lin = ij[:, 1] * img + ij[:, 0]  # row-major (y, x)
+    row = (img - 1) - ij[:, 1] if flip_rows else ij[:, 1]
+    lin = row * img + ij[:, 0]  # row-major (row, x)
     w = valid.astype(points.dtype)
     sums = jnp.zeros((img * img,), points.dtype).at[lin].add(
         points[:, intensity_col] * w, mode="drop")
     cnts = jnp.zeros((img * img,), points.dtype).at[lin].add(w, mode="drop")
-    return (sums / jnp.maximum(cnts, 1.0)).reshape(img, img)
+    mean = (sums / jnp.maximum(cnts, 1.0)).reshape(img, img)
+    return mean, cnts.reshape(img, img)
+
+
+def fill_bev_holes(val: jnp.ndarray, cnt: jnp.ndarray,
+                   iters: int = 6) -> jnp.ndarray:
+    """Fill empty BEV pixels by iterated 3x3 neighbourhood means.
+
+    An MLS sweep doesn't return from every 5 cm cell, so a raw rasterized
+    tile is pocked with zero-count holes the trained network never saw
+    (training tiles are dense PNGs).  Each iteration assigns every still-
+    empty pixel the mean of its already-filled 3x3 neighbours — conv-based,
+    so it stays fused in the same XLA program as the rasterize + forward.
+    Pixels that remain empty after ``iters`` keep ``val``'s 0 (the caller's
+    bias maps that to the ground level).
+    """
+    filled = (cnt > 0).astype(val.dtype)
+    k = jnp.ones((3, 3, 1, 1), val.dtype)
+
+    def conv(x):
+        return jax.lax.conv_general_dilated(
+            x[None, :, :, None], k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
+
+    for _ in range(iters):
+        s = conv(val * filled)
+        c = conv(filled)
+        grown = (c > 0).astype(val.dtype)
+        val = jnp.where((filled == 0) & (grown > 0),
+                        s / jnp.maximum(c, 1.0), val)
+        filled = jnp.maximum(filled, grown)
+    return val
+
+
+def bev_image_from_points(points: jnp.ndarray, mask: jnp.ndarray,
+                          pc_range: Sequence[float], img: int,
+                          gain: float = 0.900, bias: float = 0.1535,
+                          fill_iters: int = 6) -> jnp.ndarray:
+    """Full on-device Las2BEV: [N,4] cloud -> [img, img] float BEV tile in
+    [0, 1], ready to broadcast to the flagship's 3-channel input.
+
+    ``gain``/``bias`` affinely map normalised LAS intensity (clip[800,33000]
+    /33000, `data/las.py:72-81`) to the tile intensity distribution the
+    network was trained on; the defaults are calibrated to the synthetic MLS
+    intensity model (paint ~0.79 -> ~220/255, asphalt ~0.09 -> ~60/255) —
+    calibrate per sensor for real surveys.  Holes are neighbourhood-filled
+    (`fill_bev_holes`); pixels no return ever reaches land at ``bias``
+    (ground level).
+    """
+    mean, cnt = rasterize_bev_intensity(points, mask, pc_range, img,
+                                        flip_rows=True)
+    mean = fill_bev_holes(mean, cnt, iters=fill_iters)
+    return jnp.clip(mean * gain + bias, 0.0, 1.0)

@@ -24,10 +24,16 @@ def maybe_initialize_distributed(coordinator: Optional[str] = None,
     coordinator = coordinator or os.environ.get("COORDINATOR_ADDRESS")
     if coordinator is None:
         return
+    # NB: rank 0 is falsy — `process_id or env[...]` would misroute the
+    # coordinator process (first 2-process run caught exactly this)
+    if num_processes is None:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None:
+        process_id = int(os.environ["PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator,
-        num_processes=int(num_processes or os.environ["NUM_PROCESSES"]),
-        process_id=int(process_id or os.environ["PROCESS_ID"]))
+        num_processes=int(num_processes),
+        process_id=int(process_id))
 
 
 def get_rank() -> int:

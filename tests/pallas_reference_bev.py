@@ -1,10 +1,20 @@
-"""Pallas TPU kernel: fused point -> BEV grid binning (segment sums).
+"""RETIRED Pallas kernel, kept as an interpret-tested oracle (tests only).
 
-This is the ingest hot path from BASELINE.json's north star — the laspy
-point read + point-cloud-to-BEV intensity rasterisation that the reference
-delegates to offline tooling plus mmdet3d's CUDA voxelizer
-(`/root/reference/baseline/models/pcencoder/lidarencoder.py:97-128`,
-README.md:171-172).
+Point -> BEV grid binning recast as MXU one-hot contractions.  Measured on
+real v5e hardware (VOXELIZER_BENCH.json, round 3): 3.8x SLOWER than the
+production XLA sorted-scatter (`ops/voxelize.py`) at 1M points on the
+576x576x10 grid.  The loss is structural, not a tuning miss: the one-hot
+matmul formulation costs O(N * band_rows * width) FLOPs where scatter costs
+O(N log N + cells), and widening the bands to fill the MXU's 128-row systolic
+dimension multiplies those wasted FLOPs by the same factor it gains in
+occupancy.  Binning is simply not a contraction-shaped op.  The kernel stays
+here (not in the package) as a second independent implementation the parity
+tests check the production scatter against, and as the record of WHY the
+scatter path is the measured default — see ARCHITECTURE.md.
+
+Original target: the reference's ingest stack — mmdet3d's CUDA voxelizer
+(`/root/reference/baseline/models/pcencoder/lidarencoder.py:97-128`) and the
+offline Las2BEV rasterizer (README.md:171-172).
 
 TPU has no scatter-atomic units, so the kernel recasts binning as MXU
 matmuls: points are pre-bucketed into row bands (a single XLA sort), and
@@ -172,7 +182,7 @@ def voxelize_bev_zfold_pallas(points: jnp.ndarray, mask: jnp.ndarray,
     hold ~N*5/n_bands points; 16384 covers ~2M clustered points on the
     576x576x10 grid at ~2.4 MB of VMEM per input block).
     """
-    from ..ops.voxelize import point_voxel_ids
+    from lanemapping_tpu.ops.voxelize import point_voxel_ids
 
     X, Y, Z = grid
     C = points.shape[1]

@@ -48,9 +48,11 @@ def test_rasterize_bev_intensity():
         [5.0, 5.0, 0.0, 99.0],   # out of range
     ], np.float32)
     mask = np.ones(4, bool)
-    img = np.asarray(rasterize_bev_intensity(
+    img, cnt = rasterize_bev_intensity(
         jnp.asarray(pts), jnp.asarray(mask),
-        (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0), img=4))
+        (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0), img=4)
+    img, cnt = np.asarray(img), np.asarray(cnt)
+    assert cnt[3, 3] == 2 and cnt.sum() == 3
     # cell of (0.5, 0.5): col=floor((0.5+1)/0.5)=3, row=3
     assert img[3, 3] == pytest.approx(15.0)
     assert img[0, 0] == pytest.approx(7.0)

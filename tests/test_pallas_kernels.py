@@ -6,7 +6,7 @@ import pytest
 
 def test_bev_bin_sums_matches_scatter():
     import jax.numpy as jnp
-    from lanemapping_tpu.kernels.bev_rasterize import bev_bin_sums
+    from pallas_reference_bev import bev_bin_sums
 
     rng = np.random.RandomState(0)
     H = W = 128
@@ -32,7 +32,7 @@ def test_bev_bin_sums_matches_scatter():
 
 def test_pallas_rasterize_matches_xla():
     import jax.numpy as jnp
-    from lanemapping_tpu.kernels.bev_rasterize import \
+    from pallas_reference_bev import \
         rasterize_bev_intensity_pallas
     from lanemapping_tpu.ops.voxelize import rasterize_bev_intensity
 
@@ -46,7 +46,7 @@ def test_pallas_rasterize_matches_xla():
     pc_range = (-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)
     want = np.asarray(rasterize_bev_intensity(jnp.asarray(pts),
                                               jnp.asarray(mask), pc_range,
-                                              img=128))
+                                              img=128)[0])
     got = np.asarray(rasterize_bev_intensity_pallas(
         jnp.asarray(pts), jnp.asarray(mask), pc_range, img=128,
         interpret=True))
@@ -55,7 +55,7 @@ def test_pallas_rasterize_matches_xla():
 
 def test_pallas_zfold_matches_xla():
     import jax.numpy as jnp
-    from lanemapping_tpu.kernels.bev_rasterize import voxelize_bev_zfold_pallas
+    from pallas_reference_bev import voxelize_bev_zfold_pallas
     from lanemapping_tpu.ops.voxelize import voxelize_bev_zfold
 
     rng = np.random.RandomState(2)
@@ -79,7 +79,7 @@ def test_pallas_zfold_nonmultiple_width_matches_xla():
     """The real LiDAR grid is 576 wide (not a 128 multiple): the kernel pads
     the lane axis internally and slices back."""
     import jax.numpy as jnp
-    from lanemapping_tpu.kernels.bev_rasterize import voxelize_bev_zfold_pallas
+    from pallas_reference_bev import voxelize_bev_zfold_pallas
     from lanemapping_tpu.ops.voxelize import voxelize_bev_zfold
 
     rng = np.random.RandomState(3)

@@ -109,5 +109,10 @@ def test_mono_channel_shipping_is_bit_identical(tiny_cfg, synth_root,
     out_mono = runner._eval_step(runner.state, db["proj"])
     out_rgb = runner._eval_step(runner.state, rgb)
     for k in out_mono:
-        np.testing.assert_array_equal(np.asarray(out_mono[k]),
-                                      np.asarray(out_rgb[k]), err_msg=k)
+        # input prep is bit-identical (asserted above); the forwards are two
+        # different jitted programs (mono vs 3-channel input shape) and XLA
+        # may fuse the broadcast into the first conv, changing reduction
+        # order — so allow float-noise-level differences here
+        np.testing.assert_allclose(np.asarray(out_mono[k], np.float32),
+                                   np.asarray(out_rgb[k], np.float32),
+                                   rtol=0, atol=1e-5, err_msg=k)

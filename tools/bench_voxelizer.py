@@ -1,11 +1,11 @@
 #!/usr/bin/env python
 """On-chip timing: Pallas binning kernel vs XLA scatter voxelizer.
 
-VERDICT r2 #2: the Pallas ingest kernel (`kernels/bev_rasterize.py`) had only
-ever run in interpreter mode; this script times both implementations on the
-attached TPU at realistic MLS density (~1M pts/tile, z clustered around the
-road surface) and prints a BENCH-style JSON line so `use_pallas_voxelizer`
-can be set by measurement.
+Times the production XLA scatter voxelizer against the RETIRED Pallas
+one-hot kernel (`tests/pallas_reference_bev.py` — retired by round-3
+measurement and round-4 analysis, see ARCHITECTURE.md) on the attached TPU
+at realistic MLS density (~1M pts/tile, z clustered around the road
+surface), so the retirement decision stays re-checkable on future hardware.
 
 Measurement discipline (axon tunnel): one jitted ``lax.fori_loop`` per
 variant with iterations chained through a data dependency, completion forced
@@ -68,7 +68,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from lanemapping_tpu.kernels.bev_rasterize import voxelize_bev_zfold_pallas
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from pallas_reference_bev import voxelize_bev_zfold_pallas
     from lanemapping_tpu.ops.voxelize import voxelize_bev_zfold
 
     pc_range = (-15.0, -25.0, -2.0, 15.0, 25.0, 2.0)

@@ -39,19 +39,11 @@ def _save(out_path, record):
 
 
 def _train_cfg(args):
-    import ast
     import json as _json
-    from lanemapping_tpu.config.config import Config
+    from lanemapping_tpu.config.config import Config, parse_dict_action
     cfg = Config.fromfile(args.config)
     cfg.train_compute_dtype = "bfloat16"
     cfg.remat = True
-    for kv in args.set or []:
-        k, _, v = kv.partition("=")
-        try:
-            v = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            pass
-        setattr(cfg, k, v)
     cfg.batch_size = args.batch
     cfg.epochs = args.epochs
     cfg.eval_ep = args.eval_ep
@@ -64,6 +56,11 @@ def _train_cfg(args):
     cfg.scheduler = dict(type="CosineAnnealingLR", T_max=cfg.total_iter)
     for s in ("train", "val", "test"):
         cfg.dataset[s]["data_root"] = args.data_root
+    # --set overrides last so they can beat the hard-coded defaults above;
+    # merge_from_dict handles dotted keys (setattr would silently create a
+    # literal 'heads.row_size' attribute)
+    if args.set:
+        cfg.merge_from_dict(parse_dict_action(args.set))
     return cfg
 
 
@@ -92,6 +89,7 @@ def stage_train(args, rec):
                        if isinstance(v, float)} for c in curve],
         "best_composite": round(runner.best_metric, 4),
         "ckpt": os.path.join(log_dir, "ckpt", "best"),
+        "config": os.path.abspath(args.config),
     }
 
 
@@ -216,17 +214,22 @@ def stage_lidar(args, rec):
            os.path.join(args.log_dir, "map_out_lidar"), "--split", "all",
            "--batch", "4", "--bench-json",
            f"max_points={args.lidar_points}"]
-    lidar_ckpt = args.lidar_ckpt or rec.get("train", {}).get("ckpt")
+    # the train-stage ckpt is only architecture-compatible when the train
+    # stage actually used the lidar config (restoring a BEV-flagship ckpt
+    # into the LidarEncoder template fails); else run random-weight
+    # throughput as before
+    trained = rec.get("train", {})
+    lidar_ckpt = args.lidar_ckpt or (
+        trained.get("ckpt")
+        if trained.get("config") == os.path.abspath(args.lidar_config)
+        else None)
     if lidar_ckpt:
         cmd += ["--ckpt", lidar_ckpt]
-    if args.use_pallas_voxelizer:
-        cmd += ["use_pallas_voxelizer=True"]
     p, bench = _run_stream(cmd)
     entry = {"wall_s": round(time.time() - t0, 1), "bench": bench,
              "rc": p.returncode,
              "points_per_tile": args.lidar_points,
-             "ckpt": lidar_ckpt,
-             "use_pallas_voxelizer": bool(args.use_pallas_voxelizer)}
+             "ckpt": lidar_ckpt}
     if bench and bench.get("value"):
         entry["points_per_sec"] = round(
             bench["value"] * args.lidar_points, 0)
@@ -253,7 +256,6 @@ def main():
     ap.add_argument("--lidar-tiles", type=int, default=24)
     ap.add_argument("--lidar-points", type=int, default=1 << 19)
     ap.add_argument("--lidar-ckpt", default=None)
-    ap.add_argument("--use-pallas-voxelizer", action="store_true")
     ap.add_argument("--set", action="append", default=[],
                     help="extra cfg overrides key=value (literal-evaled)")
     args = ap.parse_args()

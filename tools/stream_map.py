@@ -38,6 +38,11 @@ def main():
                     help="decode all PNGs to RAM (uint8) before timing — "
                          "isolates the TPU+postprocess pipeline from host "
                          "PNG-decode throughput")
+    ap.add_argument("--from-las", action="store_true",
+                    help="sensor-native ingest: stream raw .las clouds "
+                         "(<data_root>/las/*.las) and fuse the on-device "
+                         "Las2BEV rasterization into the same jitted "
+                         "forward+decode program — no BEV PNGs needed")
     ap.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = ap.parse_args()
 
@@ -64,8 +69,15 @@ def main():
     if args.ckpt:
         runner.state = load_model(os.path.abspath(args.ckpt), runner.state)
 
-    ds_cfg = dict(cfg.dataset.test)
-    ds_cfg["mode"] = args.split
+    if args.from_las:
+        # raw clouds straight from disk; the BEV tile is synthesised on
+        # device inside fwd_dec (reference analogue: the offline Las2BEV
+        # step, README.md:171-172, here fused into the inference program)
+        ds_cfg = dict(type="LasTiles", data_root=args.data_root,
+                      mode=args.split)
+    else:
+        ds_cfg = dict(cfg.dataset.test)
+        ds_cfg["mode"] = args.split
     ds = build_from_cfg(ds_cfg, DATASETS, default_args=dict(cfg=cfg))
     loader = Loader(ds, batch_size=cfg.batch_size, shuffle=False,
                     drop_last=False, num_threads=8, prefetch=3)
@@ -98,8 +110,25 @@ def main():
         else jnp.float32
     use_lidar = bool(cfg.get("use_lidar", False))
 
+    las_p = None
+    if args.from_las:
+        from lanemapping_tpu.tools.las2bev import las2bev_params
+        las_p = las2bev_params(cfg)
+        img_sz = cfg.list_img_size_xy[0]
+
     def fwd_dec_fn(state, inp):
-        if use_lidar:
+        if args.from_las:
+            # fused Las2BEV: rasterize + hole-fill + calibrate each cloud to
+            # the BEV tile the flagship trains on, all inside this one jitted
+            # program — raw sensor points in, decoded lanes out
+            from lanemapping_tpu.ops.voxelize import bev_image_from_points
+            f = lambda p, m: bev_image_from_points(
+                p, m, las_p["pc_range"], img_sz, gain=las_p["gain"],
+                bias=las_p["bias"], fill_iters=las_p["fill_iters"])
+            x = jax.vmap(f)(inp["points"], inp["points_mask"])
+            x = jnp.broadcast_to(x[..., None].astype(compute_dtype),
+                                 x.shape + (3,))
+        elif use_lidar:
             # raw-point streaming: padded static point buffers + mask
             x = {"points": inp["points"], "points_mask": inp["points_mask"]}
         else:
@@ -176,7 +205,7 @@ def main():
         return a
 
     def to_input(batch):
-        if use_lidar:
+        if use_lidar or args.from_las:
             return {"points": np.asarray(batch["points"], np.float32),
                     "points_mask": np.asarray(batch["points_mask"])}
         return to_u8(batch["proj"])
@@ -248,6 +277,10 @@ def main():
             "km_lane_per_hour": round(km_lane_h, 1),
             "n_tiles": n_tiles,
         }
+        if args.from_las:
+            n_pts = cfg.get("max_points", 1 << 19)
+            rec["mode"] = "from_las"
+            rec["points_per_sec"] = round(tiles_s * n_pts, 0)
         if not args.ckpt:
             # random-weight runs decode noise polylines: tiles/s is a real
             # throughput measurement but km-lane/hour is only a proxy

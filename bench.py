@@ -241,12 +241,15 @@ def main():
         # headline km-lane/hour is the TRAINED-checkpoint rate (real decoded
         # lanes); the random-weights figure only measures pipeline throughput
         # and is kept under an explicitly-labelled proxy key
-        trained = e2e.get("trained_ckpt_run", {})
-        if trained.get("km_lane_per_hour") is not None:
-            record["km_lane_per_hour"] = trained["km_lane_per_hour"]
-            record["km_lane_per_hour_throughput_proxy"] = \
-                e2e.get("km_lane_per_hour")
+        if "weights" in e2e:  # r4+ format: trained ckpt IS the headline
+            record["km_lane_per_hour"] = e2e.get("km_lane_per_hour")
+            record["km_lane_per_hour_throughput_proxy"] = e2e.get(
+                "r3_random_weights_proxy", {}).get(
+                "km_lane_per_hour_throughput_proxy")
         else:
+            trained = e2e.get("trained_ckpt_run", {})
+            if trained.get("km_lane_per_hour") is not None:
+                record["km_lane_per_hour"] = trained["km_lane_per_hour"]
             record["km_lane_per_hour_throughput_proxy"] = \
                 e2e.get("km_lane_per_hour")
     print(json.dumps(record))

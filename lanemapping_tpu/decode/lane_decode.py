@@ -97,8 +97,9 @@ def cluster_peaks(coords: jnp.ndarray, radius: float):
 
 
 def decode_endpoints(endp_logits: jnp.ndarray, num_cls: int,
-                     clip_w: int = 20, radius: float = 20.0,
-                     top_k: int = None, exact_topk: bool = False):
+                     clip_w: int = 20, radius=20.0,
+                     top_k: int = None, exact_topk: bool = False,
+                     score_thre=0.0):
     """Endpoint extraction (reference `:638-688`): sigmoid the heatmap,
     crop a ``clip_w`` border, take the top-K scores, cluster within
     ``radius`` and keep one representative per cluster.
@@ -111,6 +112,16 @@ def decode_endpoints(endp_logits: jnp.ndarray, num_cls: int,
     ``approx_max_k`` partial reduction (cfg ``endp_decode='exact_topk'``;
     measured ~7% slower end-to-end, see ARCHITECTURE.md).
 
+    ``score_thre`` (cfg ``endp_score_thre``): drop candidate peaks whose
+    sigmoid score is below the threshold BEFORE clustering.  The reference
+    keeps all top-K candidates, so on a converged heatmap the candidates
+    ranked below the true blobs are pure noise and every noise cluster is a
+    false-positive endpoint; 0.0 reproduces the reference.  Both
+    ``score_thre`` and ``radius`` may be traced scalars — the endpoint
+    sweep feeds them as runtime args so one compiled program covers the
+    whole grid (a fresh full-size compile costs ~15 min through the
+    tunnel).
+
     ``endp_logits``: [B, H, W].  Returns (coords [B,K,2] float, valid [B,K]).
     """
     if top_k is None:
@@ -120,17 +131,22 @@ def decode_endpoints(endp_logits: jnp.ndarray, num_cls: int,
     ih, iw = inner.shape[1], inner.shape[2]
     scores = jax.nn.sigmoid(inner.reshape(B, -1))
     if exact_topk:
-        _, top_idx = jax.lax.top_k(scores, top_k)
+        top_scores, top_idx = jax.lax.top_k(scores, top_k)
     else:
         # approx_max_k: TPU-native partial reduction (exact top_k sorts the
         # full 1.2M-pixel map); 0.99 recall on the top-240 peak *candidates*
         # is far inside the clustering radius' tolerance
-        _, top_idx = jax.lax.approx_max_k(scores, top_k, recall_target=0.99)
+        top_scores, top_idx = jax.lax.approx_max_k(scores, top_k,
+                                                   recall_target=0.99)
     hh = (top_idx // iw + clip_w).astype(jnp.float32)
     ww = (top_idx % iw + clip_w).astype(jnp.float32)
     coords = jnp.stack([hh, ww], axis=-1)  # [B,K,2]
+    # sub-threshold candidates collapse into one far-away sentinel cluster
+    # whose representative is then invalidated by the >= 0 test
+    coords = jnp.where((top_scores >= score_thre)[..., None], coords, -1e4)
     rep_coords, rep_valid, _ = jax.vmap(
         lambda c: cluster_peaks(c, radius))(coords)
+    rep_valid = rep_valid & (rep_coords[..., 0] >= 0.0)
     return rep_coords, rep_valid
 
 
@@ -214,7 +230,10 @@ def decode_lanes(out: Dict, cfg) -> Dict:
         endp_extra = {}
         endp_coords, endp_valid = decode_endpoints(
             out[endp_key][..., 0], num_cls=cfg.number_lanes,
-            exact_topk=(endp_mode == "exact_topk"))
+            exact_topk=(endp_mode == "exact_topk"),
+            radius=cfg.get("endp_cluster_r", 20.0),
+            top_k=cfg.get("endp_top_k", None),
+            score_thre=cfg.get("endp_score_thre", 0.0))
 
     return {
         **endp_extra,

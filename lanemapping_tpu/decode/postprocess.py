@@ -374,12 +374,17 @@ def _run_length(sem_row: np.ndarray) -> List[List[int]]:
 
 
 def uniform_semantics(ply: np.ndarray, endp_map: Optional[np.ndarray],
-                      r_buff: int = 20, ep: Optional[np.ndarray] = None):
+                      r_buff: int = 20, ep: Optional[np.ndarray] = None,
+                      keep_line_ends: bool = False):
     """Run-length smoothing of per-vertex semantics + endpoint pruning
     (reference `polyline_uniform_semantics_by_statistics:448-586`).
 
     ``ply``: [N,S,2] (column, semantic) per vertex.  ``ep``: optional
     precomputed [M,2] endpoint coordinates (skips a full-map argwhere).
+    ``keep_line_ends``: exempt endpoints in a line's terminal zone from the
+    interior-endpoint prune — the reference radius-kills over ALL vertices,
+    deleting the line's own terminal endpoints precisely when decode and
+    heatmap agree (cfg ``endp_keep_line_ends``; False = reference).
     Returns (ply, endp_map).
     """
     from scipy.spatial import cKDTree
@@ -424,7 +429,11 @@ def uniform_semantics(ply: np.ndarray, endp_map: Optional[np.ndarray],
             if best > 130:
                 tree = cKDTree(pts[v_idx])
                 d, _ = tree.query(ep, k=1)
-                for idx in np.nonzero(d <= 8)[0]:
+                kill = d <= 8
+                if keep_line_ends:
+                    for term in (pts[v_idx[0]], pts[v_idx[-1]]):
+                        kill &= np.hypot(*(ep - term).T) > 8
+                for idx in np.nonzero(kill)[0]:
                     endp_map[ep_i[idx, 0], ep_i[idx, 1]] = 0.0
 
     # prune endpoints with no polyline within 10 px
@@ -533,13 +542,14 @@ def _nms_dispatch(lines, sem_rows, img):
     return polyline_nms(lines, sem_rows)
 
 
-def _uniform_dispatch(ply, endp_map, ep, r_buff):
+def _uniform_dispatch(ply, endp_map, ep, r_buff, keep_line_ends=False):
     """Native semantic uniformisation + endpoint pruning with NumPy
     fallback; ``ep`` [M,2] are the endpoint coordinates already scattered
     into ``endp_map``."""
     try:
         from ..native import uniform_semantics_native
-        out = uniform_semantics_native(ply, ep, r_buff=r_buff)
+        out = uniform_semantics_native(ply, ep, r_buff=r_buff,
+                                       keep_line_ends=keep_line_ends)
         if out is not None:
             ply, keep = out
             dropped = ep[~keep].astype(int)
@@ -549,7 +559,8 @@ def _uniform_dispatch(ply, endp_map, ep, r_buff):
     except Exception:
         pass
     return uniform_semantics(ply, endp_map, r_buff=r_buff,
-                             ep=np.asarray(ep, np.float64))
+                             ep=np.asarray(ep, np.float64),
+                             keep_line_ends=keep_line_ends)
 
 
 def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
@@ -627,9 +638,10 @@ def lane_maps_from_decode(dec: Dict, cfg) -> Dict:
 
         sem = lane_vertex_semantics(smooth, point_sem)
         ply = np.stack([smooth, sem], axis=2)
-        ply, endp_map = _uniform_dispatch(ply, endp_map,
-                                          np.asarray(pts, np.float64)
-                                          .reshape(-1, 2), r_buff=20)
+        ply, endp_map = _uniform_dispatch(
+            ply, endp_map, np.asarray(pts, np.float64).reshape(-1, 2),
+            r_buff=cfg.get("endp_prune_r_buff", 20),
+            keep_line_ends=cfg.get("endp_keep_line_ends", False))
         ply = remove_short(ply, min_v_count=8)
         out["cls_offset_smooth"].append(ply)
         out["endp_by_cls"].append(endp_map)

@@ -109,6 +109,9 @@ class Runner:
 
         self._eval_step = jax.jit(
             lambda state, x: eval_fn(state, _eval_prep(x)))
+        # exposed for tools that build their own fused programs around the
+        # same input prep + forward (e.g. tools/endp_sweep.py)
+        self._eval_prep, self._eval_fn = _eval_prep, eval_fn
         # fused forward + XLA lane decode in ONE jitted program (the
         # stream_map dispatch): an unjitted decode costs one ~45 ms tunnel
         # round-trip PER OP on a remote chip and churns a client buffer per
@@ -230,6 +233,11 @@ class Runner:
 
     # -- logging -----------------------------------------------------------
     def _log(self, tag: str, record: Dict):
+        # rank-0 gated (reference `dist_utils.py:38-41` rank gating): under
+        # multi-host every process computes identical merged metrics, and
+        # concurrent appends to one JSONL interleave/corrupt lines
+        if jax.process_index() != 0:
+            return
         record = {k: (float(v) if isinstance(v, (jnp.ndarray, np.ndarray))
                       else v) for k, v in record.items()}
         with open(os.path.join(self.log_dir, f"{tag}.jsonl"), "a") as f:
@@ -519,14 +527,25 @@ class Runner:
                         sem[k] += m[k]
             return coor, endp, sem
 
-        futs = []
-        with ThreadPoolExecutor(cfg.get("validate_workers", 4)) as pool:
+        n_workers = int(cfg.get("validate_workers", 4))
+        if n_workers == 0:
+            # serial reference mode (A/B baseline for the pipelined loop)
+            results = []
             for i, batch in enumerate(loader):
                 if max_batches is not None and i >= max_batches:
                     break
-                dec = self._eval_decode(self.state, self._eval_input(batch))
-                futs.append(pool.submit(score, dec, batch))
-            results = [f.result() for f in futs]
+                results.append(score(self._eval_decode(
+                    self.state, self._eval_input(batch)), batch))
+        else:
+            futs = []
+            with ThreadPoolExecutor(n_workers) as pool:
+                for i, batch in enumerate(loader):
+                    if max_batches is not None and i >= max_batches:
+                        break
+                    dec = self._eval_decode(self.state,
+                                            self._eval_input(batch))
+                    futs.append(pool.submit(score, dec, batch))
+                results = [f.result() for f in futs]
         coor_f1s = [v for r in results for v in r[0]]
         endp_f1s = [v for r in results for v in r[1]]
         sem_counts = {k: 0 for k in ("tp", "n_pred", "dg", "n_gt")}

@@ -59,7 +59,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.lm_polyline_nms.restype = None
             lib.lm_uniform_semantics.argtypes = [dp, dp, ctypes.c_int,
                                                  ctypes.c_int, ctypes.c_int,
-                                                 dp, ctypes.c_int, up]
+                                                 dp, ctypes.c_int, up,
+                                                 ctypes.c_int]
             lib.lm_uniform_semantics.restype = None
             _lib = lib
         except Exception:
@@ -116,12 +117,16 @@ def polyline_nms_native(lines: np.ndarray, sem_map: np.ndarray,
     return lines
 
 
-def uniform_semantics_native(ply: np.ndarray, ep: np.ndarray, r_buff: int = 20):
+def uniform_semantics_native(ply: np.ndarray, ep: np.ndarray,
+                             r_buff: int = 20,
+                             keep_line_ends: bool = False):
     """Native run-length semantic uniformisation + endpoint pruning.
 
     ``ply``: [N,S,2] (col, semantic) modified in place semantically;
-    ``ep``: [M,2] endpoint candidates.  Returns (ply, keep_mask) or None
-    when the library is unavailable.
+    ``ep``: [M,2] endpoint candidates.  ``keep_line_ends``: exempt a line's
+    terminal zone from the interior-endpoint prune (cfg
+    ``endp_keep_line_ends``; False = reference behaviour).  Returns
+    (ply, keep_mask) or None when the library is unavailable.
     """
     lib = get_lib()
     if lib is None:
@@ -133,6 +138,7 @@ def uniform_semantics_native(ply: np.ndarray, ep: np.ndarray, r_buff: int = 20):
     keep = np.ones((len(ep64),), np.uint8)
     lib.lm_uniform_semantics(
         _dp(cols), _dp(sem), n_line, n_v, int(r_buff), _dp(ep64),
-        len(ep64), keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        len(ep64), keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(keep_line_ends))
     ply[:, :, 1] = sem
     return ply, keep.astype(bool)

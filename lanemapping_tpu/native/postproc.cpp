@@ -358,9 +358,15 @@ void lm_polyline_nms(double* lines, const float* sem_rows, int n_line,
 // `polyline_utils.py:448-586`).
 // cols/sem: [n_line, n_v] in/out; ep: [n_ep, 2] (row, col) endpoint
 // candidates; ep_keep: [n_ep] out (1 = keep).
+// keep_line_ends: the reference's "no interior endpoints on a
+// single-semantic line" prune radius-kills over ALL vertices, which also
+// deletes the line's own terminal endpoints exactly when the heatmap and
+// the polyline agree; 1 = exempt endpoints within the prune radius of the
+// line's first/last vertex (intent-faithful mode, cfg
+// `endp_keep_line_ends`).  0 reproduces the reference.
 void lm_uniform_semantics(const double* cols, double* sem, int n_line,
                           int n_v, int r_buff, const double* ep, int n_ep,
-                          uint8_t* ep_keep) {
+                          uint8_t* ep_keep, int keep_line_ends) {
   for (int e = 0; e < n_ep; ++e) ep_keep[e] = 1;
   std::vector<double> all_r, all_c;  // vertices of every >=2-vertex lane
   for (int li = 0; li < n_line; ++li) {
@@ -413,8 +419,18 @@ void lm_uniform_semantics(const double* cols, double* sem, int n_line,
     for (auto& rv : runs)
       if (rv.first > 0) best = std::max(best, rv.second);
     if (best > 130 && n_ep) {
+      int r_first = v_idx.front(), r_last = v_idx.back();
       for (int e = 0; e < n_ep; ++e) {
         if (!ep_keep[e]) continue;
+        if (keep_line_ends) {
+          double dr0 = ep[e * 2] - (r_first * 8 + 3);
+          double dc0 = ep[e * 2 + 1] - col[r_first];
+          double dr1 = ep[e * 2] - (r_last * 8 + 3);
+          double dc1 = ep[e * 2 + 1] - col[r_last];
+          if (dr0 * dr0 + dc0 * dc0 <= 64.0 ||
+              dr1 * dr1 + dc1 * dc1 <= 64.0)
+            continue;  // terminal zone: a real line end, keep it
+        }
         double dmin = 1e30;
         for (int r : v_idx) {
           double dr = ep[e * 2] - (r * 8 + 3);

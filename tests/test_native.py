@@ -100,14 +100,42 @@ def test_uniform_semantics_native_parity():
         endp_map_np[pts[:, 0], pts[:, 1]] = 1.0
         endp_map_cc = endp_map_np.copy()
 
-        ply_np, em_np = uniform_semantics(ply.copy(), endp_map_np,
-                                          r_buff=20, ep=ep.copy())
-        out = uniform_semantics_native(ply.copy(), ep.copy(), r_buff=20)
-        assert out is not None, "native library must build"
-        ply_cc, keep = out
-        dropped = pts[~keep]
-        if len(dropped):
-            endp_map_cc[dropped[:, 0], dropped[:, 1]] = 0.0
+        for kle in (False, True):
+            em_np = endp_map_np.copy()
+            ply_np, em_np = uniform_semantics(ply.copy(), em_np,
+                                              r_buff=20, ep=ep.copy(),
+                                              keep_line_ends=kle)
+            out = uniform_semantics_native(ply.copy(), ep.copy(), r_buff=20,
+                                           keep_line_ends=kle)
+            assert out is not None, "native library must build"
+            ply_cc, keep = out
+            em_cc = endp_map_cc.copy()
+            dropped = pts[~keep]
+            if len(dropped):
+                em_cc[dropped[:, 0], dropped[:, 1]] = 0.0
 
-        np.testing.assert_array_equal(ply_cc[:, :, 1], ply_np[:, :, 1])
-        np.testing.assert_array_equal(endp_map_cc, em_np)
+            np.testing.assert_array_equal(ply_cc[:, :, 1], ply_np[:, :, 1])
+            np.testing.assert_array_equal(em_cc, em_np)
+
+
+def test_keep_line_ends_exempts_terminal_endpoints():
+    """With keep_line_ends, an endpoint sitting ON a long single-semantic
+    line's terminal vertex survives the interior prune while one in the
+    middle of the line is still removed (reference mode deletes both —
+    `polyline_utils.py:530-536` radius-kills over all vertices)."""
+    from lanemapping_tpu.decode.postprocess import uniform_semantics
+
+    n_v, img = 144, 1152
+    ply = np.full((1, n_v, 2), -1.0)
+    ply[0, :, 0] = 600.0          # full-height straight lane
+    ply[0, :, 1] = 1.0            # single semantic -> best run 144 > 130
+    # endpoints: at the first vertex, at the last vertex, mid-line
+    ep = np.array([[3.0, 600.0], [(n_v - 1) * 8 + 3.0, 600.0],
+                   [71 * 8 + 3.0, 600.0]])
+    for kle, want in ((False, [0, 0, 0]), (True, [1, 1, 0])):
+        endp_map = np.zeros((img, img), np.float32)
+        endp_map[ep[:, 0].astype(int), ep[:, 1].astype(int)] = 1.0
+        _, em = uniform_semantics(ply.copy(), endp_map, r_buff=20,
+                                  ep=ep.copy(), keep_line_ends=kle)
+        got = [int(em[int(r), int(c)]) for r, c in ep]
+        assert got == want, (kle, got)

@@ -138,7 +138,14 @@ def run_parent(args):
         log_dir = os.path.join(work, f"logs_{name}")
         procs = [_spawn(r, nprocs, coordinator, root, log_dir, member_out,
                         args.timeout) for r in range(nprocs)]
-        logs = [p.communicate(timeout=args.timeout)[0] for p in procs]
+        logs = []
+        for p in procs:
+            try:
+                logs.append(p.communicate(timeout=args.timeout)[0])
+            except subprocess.TimeoutExpired:
+                for q in procs:  # kill stragglers; 1-core host, no orphans
+                    q.kill()
+                logs.append(p.communicate()[0] + "\n[parent] TIMEOUT")
         rcs = [p.returncode for p in procs]
         entry = {"rc": rcs, "wall_s": round(time.time() - t0, 1)}
         if any(rcs):
@@ -190,7 +197,9 @@ def main():
     ap.add_argument("--log-dir", default="")
     ap.add_argument("--member-out", default="")
     ap.add_argument("--work-dir", default=None)
-    ap.add_argument("--timeout", type=int, default=1200)
+    ap.add_argument("--timeout", type=int, default=2400,
+                    help="per-member wall limit; the 1-core bench host "
+                         "needs headroom when anything else is running")
     ap.add_argument("--out", default=os.path.join(REPO, "MULTIHOST.json"))
     args = ap.parse_args()
     if args.role == "member":

@@ -54,8 +54,9 @@ def main_train():
                                                     head_hparams)
     from lanemapping_tpu.models.nets import build_model
 
-    cfg = Config.fromfile(os.path.join(REPO, "configs",
-                                       "Proj_polyline_fpn_vit_vertex_2.py"))
+    cfg = Config.fromfile(os.environ.get(
+        "BENCH_CONFIG",
+        os.path.join(REPO, "configs", "Proj_polyline_fpn_vit_vertex_2.py")))
     # hardware-run training shape (ARCHITECTURE.md round-2 run)
     cfg.train_compute_dtype = "bfloat16"
     cfg.remat = os.environ.get("BENCH_REMAT", "1") == "1"
@@ -73,11 +74,9 @@ def main_train():
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                jnp.zeros((1, img, img, 3), jnp.float32))
     hp = head_hparams(cfg)
-    step = jax.jit(
-        make_train_step(model, tx,
-                        lambda out, b: column_proposal_loss(out, b, hp),
-                        compute_dtype=jnp.bfloat16),
-        donate_argnums=(0,))
+    step = make_train_step(model, tx,
+                           lambda out, b: column_proposal_loss(out, b, hp),
+                           compute_dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
     batch = {
@@ -103,44 +102,43 @@ def main_train():
             0, 2, (B, P, img, 8 * W)).astype(np.uint8)
     batch = jax.device_put(batch)
 
-    # FLOPs of one compiled step (XLA cost model; includes fwd+bwd+opt)
-    lowered = jax.jit(
-        make_train_step(model, tx,
-                        lambda out, b: column_proposal_loss(out, b, hp),
-                        compute_dtype=jnp.bfloat16)).lower(
-        state, batch, jax.random.PRNGKey(1))
+    # ONE compiled program per cell: dynamic trip count (fori_loop with a
+    # traced bound lowers to a while loop), so the n1/n2 differencing pair
+    # reuses the same executable, and XLA's cost analysis counts the loop
+    # body ONCE — i.e. the program's own cost model IS the per-step FLOPs
+    # (verified: dyn-loop flops = step flops + ~0.8% loop overhead).
+    # Through a remote-TPU tunnel the compile dominates a sweep cell's wall,
+    # so this cuts each cell from 3 big compiles to 1.
+    @jax.jit
+    def run(state, rng_key, n):
+        def body(i, carry):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            st, _ = step(st, batch, sub)
+            return st, key
+        st, _ = jax.lax.fori_loop(0, n, body, (state, rng_key))
+        # array readback forces completion on axon
+        return st.params["heads"]["proposal_confidence"]["bias"]
+
+    n1 = int(os.environ.get("BENCH_TRAIN_ITERS", "4"))
+    n2 = 2 * n1
+    compiled = run.lower(state, jax.random.PRNGKey(1),
+                         jnp.int32(n1)).compile()
     try:
-        cost = lowered.compile().cost_analysis()
+        cost = compiled.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         step_flops = float(cost.get("flops", 0.0))
     except Exception:
         step_flops = 0.0
 
-    def loop(n):
-        @jax.jit
-        def run(state, rng_key):
-            def body(i, carry):
-                st, key = carry
-                key, sub = jax.random.split(key)
-                st, _ = step(st, batch, sub)
-                return st, key
-            st, _ = jax.lax.fori_loop(0, n, body, (state, rng_key))
-            # array readback forces completion on axon
-            return st.params["heads"]["proposal_confidence"]["bias"]
-        return run
-
-    n1 = int(os.environ.get("BENCH_TRAIN_ITERS", "4"))
-    n2 = 2 * n1
-    run1, run2 = loop(n1), loop(n2)
-
-    def timed(run):
-        r = np.asarray(run(state, jax.random.PRNGKey(2)))
+    def timed(n):
+        r = np.asarray(compiled(state, jax.random.PRNGKey(2), jnp.int32(n)))
         t0 = time.perf_counter()
-        r = np.asarray(run(state, jax.random.PRNGKey(2)))
+        r = np.asarray(compiled(state, jax.random.PRNGKey(2), jnp.int32(n)))
         assert np.all(np.isfinite(r))
         return time.perf_counter() - t0
 
-    t1, t2 = timed(run1), timed(run2)
+    t1, t2 = timed(n1), timed(n2)
     sec_per_step = (t2 - t1) / (n2 - n1)
     mfu = (step_flops / max(sec_per_step, 1e-9)) / V5E_BF16_PEAK_FLOPS \
         if step_flops else None

@@ -70,6 +70,16 @@ proposal_obj_thre = 0.3
 exist_thre = 0.2
 coor_thre = 0.2
 endp_thre = 0.08
+# Endpoint-decode defaults set by measurement (ENDP_SWEEP.json, converged
+# ckpt): radius 10 beats the reference's 20 (+0.0008 endp F1), and exempting
+# a line's terminal zone from the interior-endpoint prune (the reference
+# radius-kills its own line ends, `polyline_utils.py:530-536`) is worth
+# +0.020 endp F1 at zero coor/semantic cost.  The remaining gap to the
+# `ref_exact_occupancy_filter` transcription (+0.043 endp) is polyline
+# FRAGMENTATION inflating endpoint recall while degrading coor/semantic —
+# kept off.  Score threshold measured a no-op (0.0/0.08/0.3/0.5 identical).
+endp_cluster_r = 10.0
+endp_keep_line_ends = True
 show_result = False
 view_detail = False
 

@@ -17,6 +17,27 @@ if "JAX_PLATFORMS" in _os.environ:
     except Exception:
         pass
 
+if not _os.environ.get("LANEMAPPING_NO_COMPILE_CACHE") \
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    # Persistent XLA compilation cache, on by default: the flagship programs
+    # take minutes to compile through a remote-TPU tunnel, and every CLI
+    # entry point is its own process.  JAX_COMPILATION_CACHE_DIR still wins
+    # if the user set it; disable entirely with LANEMAPPING_NO_COMPILE_CACHE=1.
+    # Not enabled for the pure-CPU backend: local CPU compiles are cheap and
+    # XLA:CPU AOT cache entries are machine-feature-pinned (loading one
+    # logs a SIGILL-risk mismatch under virtualised feature detection).
+    import jax as _jax
+
+    try:
+        _cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "lanemapping_tpu", "xla"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+    except Exception:
+        pass
+
 from .config.config import Config, ConfigDict  # noqa: F401
 from .registry import (BACKBONE, DATASETS, HEADS, NET, PCENCODER,  # noqa: F401
                        build_backbone, build_dataset, build_from_cfg,

@@ -24,10 +24,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLAGSHIP = os.path.join(REPO, "configs", "Proj_polyline_fpn_vit_vertex_2.py")
 
 
-def run_stream(args, extra, out_dir):
+def run_stream(args, extra, out_dir, data_root=None):
     cmd = [sys.executable, os.path.join(REPO, "tools", "stream_map.py"),
-           args.config, args.data_root, "--out", out_dir, "--bench-json",
-           "--batch", str(args.batch)] + extra
+           args.config, data_root or args.data_root, "--out", out_dir,
+           "--bench-json", "--batch", str(args.batch)] + extra
     if args.ckpt:
         cmd += ["--ckpt", args.ckpt]
     p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--max-batches", type=int, default=16)
     ap.add_argument("--from-las", action="store_true")
+    ap.add_argument("--las-root", default="/root/data/synth_lidar",
+                    help="data root for the --from-las leg (needs las/ "
+                         "tiles; the PNG legs use --data-root)")
     ap.add_argument("--out", default=os.path.join(REPO, "E2E_BENCH.json"))
     args = ap.parse_args()
 
@@ -95,7 +98,8 @@ def main():
 
     if args.from_las:
         b = run_stream(args, ["--from-las", "--split", "all",
-                              "--batch", "4"], "/tmp/stream_bench_las")
+                              "--batch", "4"], "/tmp/stream_bench_las",
+                       data_root=args.las_root)
         record["from_las_run"] = b
         print(json.dumps(b), flush=True)
 

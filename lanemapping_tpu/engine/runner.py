@@ -527,7 +527,11 @@ class Runner:
                         sem[k] += m[k]
             return coor, endp, sem
 
-        n_workers = int(cfg.get("validate_workers", 4))
+        # default by measurement (VALIDATE_AB.json): on a 1-2 core host the
+        # postprocess pool time-slices against the dispatch thread and LOSES
+        # (0.7x); overlap only pays when there are spare cores to run it on
+        default_workers = 4 if (os.cpu_count() or 1) > 2 else 0
+        n_workers = int(cfg.get("validate_workers", default_workers))
         if n_workers == 0:
             # serial reference mode (A/B baseline for the pipelined loop)
             results = []

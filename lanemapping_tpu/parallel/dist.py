@@ -55,23 +55,35 @@ def dist_print(*args, **kwargs) -> None:
 
 
 def synchronize() -> None:
-    """Cross-process barrier (reference `dist_utils.py:43-55`): a tiny psum
-    over all devices, blocked on."""
+    """Cross-process barrier (reference `dist_utils.py:43-55`).
+
+    A local ``pmap`` psum only reduces over THIS process's devices and so
+    never blocks on peers; the real barrier is the coordination-service
+    rendezvous in ``sync_global_devices``."""
     if jax.process_count() == 1:
         return
-    x = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(
-        np.ones((jax.local_device_count(),)))
-    np.asarray(x)  # host readback forces completion
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("lanemapping_tpu.synchronize")
 
 
 def all_gather_host(value: Any) -> List[Any]:
-    """Gather arbitrary picklable host data from all processes
-    (reference `dist_utils.py:112-152`)."""
+    """Gather a host pytree of scalars/arrays from all processes, returning
+    a list of per-process trees (reference `dist_utils.py:112-152`).
+
+    ``process_allgather`` returns ONE tree whose leaves gained a leading
+    process axis — iterating it yields dict keys, not per-process values
+    (the first true 2-process run caught exactly this) — so re-split the
+    leaves here.  Leaves must be same-shape across processes.
+    """
     if jax.process_count() == 1:
         return [value]
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(value))
+    gathered = multihost_utils.process_allgather(value)
+    leaves, treedef = jax.tree_util.tree_flatten(gathered)
+    return [jax.tree_util.tree_unflatten(treedef, [leaf[p] for leaf in leaves])
+            for p in range(jax.process_count())]
 
 
 def all_reduce_mean_host(x: np.ndarray) -> np.ndarray:

@@ -49,6 +49,30 @@ def test_dist_helpers_single_process():
                                np.arange(3.0))
 
 
+def test_all_gather_host_resplits_gathered_tree(monkeypatch):
+    """`process_allgather` returns ONE tree whose leaves gained a leading
+    process axis; `all_gather_host` must re-split it into per-process trees
+    (the first true 2-process run — MULTIHOST.json — caught `list(tree)`
+    yielding dict keys instead).  Fake the 2-process regime here so the
+    contract is pinned in the single-process suite too."""
+    import jax
+
+    from lanemapping_tpu.parallel import dist
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda tree: jax.tree_util.tree_map(
+            lambda leaf: np.stack([np.asarray(leaf)] * 2), tree))
+    out = dist.all_gather_host({"a": 1.5, "b": np.arange(3.0)})
+    assert len(out) == 2
+    for g in out:
+        assert set(g) == {"a", "b"}
+        assert float(g["a"]) == 1.5
+        np.testing.assert_allclose(g["b"], np.arange(3.0))
+
+
 def test_loader_rank_sharding_disjoint_coverage():
     """DistributedSampler equivalent (reference `datasets/registry.py:42-43`
     + `set_epoch`, `runner.py:213-214`): fake 2 processes' index streams and

@@ -467,7 +467,11 @@ class Runner:
                 conf = self._local_rows({"conf": out["conf"]})["conf"]
                 conf_pred = (conf > cfg.get("conf_thr", 0.3)).astype(
                     np.float64)
-            label = batch["label"][:, :, :cfg.heads.row_size]
+            # RowRef heads score the first `row_size` grid columns; GridSeg
+            # (no row_size — caught by the on-chip config smoke) scores the
+            # full label grid
+            row_size = int(cfg.heads.get("row_size", batch["label"].shape[2]))
+            label = batch["label"][:, :, :row_size]
             conf_label = (label != 255).astype(np.float64)
             for b in range(conf_pred.shape[0]):
                 f1s.append(grid_measures(conf_label[b],

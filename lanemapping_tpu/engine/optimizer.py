@@ -7,6 +7,7 @@ SGD linear-warmup behaviour (`runner.py:110-113`).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import optax
 
 
@@ -31,10 +32,20 @@ def build_schedule(cfg):
 def build_optimizer(cfg) -> optax.GradientTransformation:
     schedule = build_schedule(cfg)
     opt_type = cfg.optimizer.type
+    # Optimizer-state dtype lever: store Adam's first moment in bf16
+    # (`optimizer.mu_dtype = "bfloat16"`).  The second moment stays f32 —
+    # nu accumulates squared gradients whose dynamic range bf16's 8
+    # mantissa bits would visibly quantise, while mu is a smoothed gradient
+    # where bf16 noise is far below Adam's own EMA noise floor.  For this
+    # ~10M-param model it saves ~20 MB HBM (activations at 1152px dominate);
+    # the lever matters on bigger variants and is exposed for them.
+    mu_dtype = cfg.optimizer.get("mu_dtype", None)
+    if mu_dtype is not None:
+        mu_dtype = jnp.dtype(mu_dtype)
     if opt_type == "Adam":
-        tx = optax.adam(schedule)
+        tx = optax.adam(schedule, mu_dtype=mu_dtype)
     elif opt_type == "AdamW":
-        tx = optax.adamw(schedule,
+        tx = optax.adamw(schedule, mu_dtype=mu_dtype,
                          weight_decay=cfg.optimizer.get("weight_decay", 1e-2))
     elif opt_type == "SGD":
         # linear warmup over 5000 steps (reference pytorch_warmup usage)

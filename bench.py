@@ -130,6 +130,27 @@ def main_train():
         step_flops = float(cost.get("flops", 0.0))
     except Exception:
         step_flops = 0.0
+    # HBM high-water from the compiled executable (args + outputs + live
+    # temporaries); no execution needed, so it is exact for the program
+    # that actually runs, not an estimate
+    try:
+        mem = compiled.memory_analysis()
+        hbm_gb = (mem.argument_size_in_bytes + mem.output_size_in_bytes +
+                  mem.temp_size_in_bytes) / 2**30
+        hbm_gb = round(hbm_gb, 3)
+    except Exception:
+        hbm_gb = None
+
+    if os.environ.get("BENCH_ANALYZE_ONLY") == "1":
+        # compile-only pass (persistent-cache hit for already-swept cells):
+        # report the program's FLOPs + HBM high-water without timing
+        print(json.dumps({
+            "metric": "train_step_analysis", "batch": B, "img": img,
+            "remat": cfg.remat,
+            "remat_policy": cfg.remat_policy if cfg.remat else None,
+            "step_flops": step_flops, "hbm_highwater_gb": hbm_gb,
+        }))
+        return
 
     def timed(n):
         r = np.asarray(compiled(state, jax.random.PRNGKey(2), jnp.int32(n)))
@@ -153,6 +174,7 @@ def main_train():
         "remat": cfg.remat,
         "remat_policy": cfg.remat_policy if cfg.remat else None,
         "step_flops": step_flops,
+        "hbm_highwater_gb": hbm_gb,
         "train_mfu_vs_v5e_bf16_peak": round(mfu, 4) if mfu else None,
         "tiles_per_sec_train": round(B / max(sec_per_step, 1e-9), 2),
     }))

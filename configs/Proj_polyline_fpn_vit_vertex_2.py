@@ -86,7 +86,14 @@ view_detail = False
 optimizer = dict(type="Adam", lr=0.00015)
 
 epochs = 45
-batch_size = 6
+# Reference trains batch 6 (its config :123).  The TPU sweep
+# (TRAIN_BENCH.json, v5e) measured s/step FLAT from batch 4 to 8 — at
+# small batch the many 144px stages under-occupy the chip — so batch 8
+# is ~2x train throughput for free: 0.200 s/step = 40 tiles/s, 10.3 GB
+# HBM high-water (no remat needed at this size; remat=True costs ~11%
+# and only matters for batch >=16).
+batch_size = 8
+train_compute_dtype = "bfloat16"
 total_iter = (2904 // batch_size) * epochs
 scheduler = dict(type="CosineAnnealingLR", T_max=total_iter)
 

@@ -14,4 +14,7 @@ total_iter = 4
 scheduler = dict(T_max=4)
 workers = 0
 compute_dtype = "float32"
+# the flagship base now ships train_compute_dtype=bfloat16 (TPU default by
+# measurement); tests/dry-runs on CPU stay f32 for exact-parity assertions
+train_compute_dtype = "float32"
 mesh_shape = dict(data=2)

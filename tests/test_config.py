@@ -14,7 +14,9 @@ def test_fromfile_flagship():
     assert cfg.heads.num_prop == 72
     assert cfg.backbone.type == "VitSegNet"
     assert cfg.optimizer.lr == 0.00015
-    assert cfg.total_iter == (2904 // 6) * 45
+    # batch 8 by measurement (TRAIN_BENCH.json r4 sweep); reference uses 6
+    assert cfg.batch_size == 8
+    assert cfg.total_iter == (2904 // cfg.batch_size) * 45
 
 
 def test_base_inheritance():

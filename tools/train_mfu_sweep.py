@@ -53,6 +53,7 @@ def run_cell(batch: int, remat: str, iters: int) -> dict:
         "train_mfu": rec.get("train_mfu_vs_v5e_bf16_peak"),
         "tiles_per_sec_train": rec.get("tiles_per_sec_train"),
         "step_flops": rec.get("step_flops"),
+        "hbm_highwater_gb": rec.get("hbm_highwater_gb"),
     })
     return cell
 

@@ -43,9 +43,10 @@ def _train_cfg(args):
     from lanemapping_tpu.config.config import Config, parse_dict_action
     cfg = Config.fromfile(args.config)
     cfg.train_compute_dtype = "bfloat16"
-    # remat off: the r4 sweep measured batch 8 without remat as the fastest
-    # cell (0.200 s/step, 10.3 GB HBM) — recompute only pays at batch >=16
-    cfg.remat = args.batch >= 16
+    # remat off: the r4 sweep measured no-remat fastest at every batch that
+    # fits (even 16 fits at 14.2 GB); remat is purely an HBM-headroom lever
+    # and can be re-engaged via --set remat=True
+    cfg.remat = False
     cfg.batch_size = args.batch
     cfg.epochs = args.epochs
     cfg.eval_ep = args.eval_ep

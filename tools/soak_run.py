@@ -4,7 +4,8 @@
 Stages (each timed, results appended to --out after every stage):
 
   train   — flagship training on the synthetic set to an F1 plateau
-            (bf16 + remat, batch 4), in-training validation, best ckpt.
+            (bf16, batch 8, no remat — TRAIN_BENCH.json winners),
+            in-training validation, best ckpt.
   endp    — the endpoint-decode three-way table (approx_topk / exact_topk /
             exact_host) evaluated on the CONVERGED checkpoint (r2 Weak #1).
   refkit  — reference-exact occupancy_filter delta on the same checkpoint.

@@ -17,8 +17,26 @@ if "JAX_PLATFORMS" in _os.environ:
     except Exception:
         pass
 
+def _tpu_like_platform() -> bool:
+    """True only when a TPU-ish backend is actually requested — via the env
+    var or an already-applied ``jax_platforms`` config (the axon
+    sitecustomize sets the latter with the env unset).  A plain dev box with
+    neither set resolves to the CPU backend, where the cache must stay off:
+    local CPU compiles are cheap and we must not pay the SIGILL risk below
+    for nothing.  String checks only — probing ``jax.default_backend()``
+    here would initialise backends at import time."""
+    plats = _os.environ.get("JAX_PLATFORMS", "")
+    if not plats:
+        try:
+            import jax as _jax
+            plats = _jax.config.jax_platforms or ""
+        except Exception:
+            plats = ""
+    return any(p in plats for p in ("tpu", "axon"))
+
+
 if not _os.environ.get("LANEMAPPING_NO_COMPILE_CACHE") \
-        and _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        and _tpu_like_platform():
     # Persistent XLA compilation cache, on by default: the flagship programs
     # take minutes to compile through a remote-TPU tunnel, and every CLI
     # entry point is its own process.  JAX_COMPILATION_CACHE_DIR still wins

@@ -294,8 +294,8 @@ class Runner:
             return bool(flag)
         if jax.process_count() > 1:
             return False
-        return bool(np.array_equal(v[..., 0], v[..., 1])
-                    and np.array_equal(v[..., 1], v[..., 2]))
+        from .state import is_mono_batch
+        return is_mono_batch(v)
 
     def _device_batch(self, batch: Dict) -> Dict:
         db = {}
@@ -545,7 +545,13 @@ class Runner:
                 results.append(score(self._eval_decode(
                     self.state, self._eval_input(batch)), batch))
         else:
-            futs = []
+            # backpressure: each pending future pins its loader batch (and
+            # decode readback) in host RAM, so an unbounded submit loop on a
+            # large validation set queues the whole set (~hundreds of MB per
+            # batch).  Cap in-flight work at 2x the pool and drain in order
+            # (results are order-insensitive aggregates, FIFO is simplest).
+            from collections import deque
+            futs, results = deque(), []
             with ThreadPoolExecutor(n_workers) as pool:
                 for i, batch in enumerate(loader):
                     if max_batches is not None and i >= max_batches:
@@ -553,7 +559,9 @@ class Runner:
                     dec = self._eval_decode(self.state,
                                             self._eval_input(batch))
                     futs.append(pool.submit(score, dec, batch))
-                results = [f.result() for f in futs]
+                    while len(futs) >= 2 * n_workers:
+                        results.append(futs.popleft().result())
+                results.extend(f.result() for f in futs)
         coor_f1s = [v for r in results for v in r[0]]
         endp_f1s = [v for r in results for v in r[1]]
         sem_counts = {k: 0 for k in ("tp", "n_pred", "dg", "n_gt")}

@@ -27,6 +27,21 @@ def create_train_state(model, tx: optax.GradientTransformation, rng,
                       opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def is_mono_batch(a) -> bool:
+    """Whether an image batch is channel-replicated mono ([B,H,W,3] with all
+    three channels identical).  BEV intensity tiles are one LiDAR return
+    intensity replicated into 3 PNG channels (reference
+    `laserlane_proposals.py:85-98` loads them unchanged); such a batch can
+    ship as ONE channel and be broadcast back on device (`model_input`) —
+    3x less H2D, bit-identical activations.  Single content-check shared by
+    `Runner._mono_squeeze` and the streaming CLI so the squeeze contract
+    cannot silently diverge."""
+    import numpy as np
+    return bool(a.ndim == 4 and a.shape[-1] == 3
+                and np.array_equal(a[..., 0], a[..., 1])
+                and np.array_equal(a[..., 1], a[..., 2]))
+
+
 def model_input(batch: Dict, use_lidar: bool = False, compute_dtype=None):
     """The net's forward input from a batch dict: the BEV image tensor, or —
     on the raw-LiDAR path (reference `runner.py:139-147` to_cuda

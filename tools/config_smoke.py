@@ -118,8 +118,11 @@ def main():
         "date": time.strftime("%Y-%m-%d"),
     }, "configs": {}}
     if os.path.isfile(args.out):
+        # merge-resume: keep earlier configs' entries but NOT the old
+        # provenance — this run's measurements belong to this run's
+        # backend/data-root/date
         with open(args.out) as f:
-            record = json.load(f)
+            record["configs"] = json.load(f).get("configs", {})
 
     for name in args.configs:
         print(f"[config_smoke] === {name} ===", flush=True)

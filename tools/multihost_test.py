@@ -98,7 +98,7 @@ def run_member(args):
     synchronize()
 
 
-def _spawn(rank, nprocs, coordinator, root, log_dir, member_out, timeout):
+def _spawn(rank, nprocs, coordinator, root, log_dir, member_out):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     cmd = [sys.executable, os.path.abspath(__file__), "--role", "member",
@@ -136,8 +136,8 @@ def run_parent(args):
         t0 = time.time()
         member_out = os.path.join(work, f"{name}.json")
         log_dir = os.path.join(work, f"logs_{name}")
-        procs = [_spawn(r, nprocs, coordinator, root, log_dir, member_out,
-                        args.timeout) for r in range(nprocs)]
+        procs = [_spawn(r, nprocs, coordinator, root, log_dir, member_out)
+                 for r in range(nprocs)]
         logs = []
         for p in procs:
             try:

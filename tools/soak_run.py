@@ -64,7 +64,15 @@ def _train_cfg(args):
     # merge_from_dict handles dotted keys (setattr would silently create a
     # literal 'heads.row_size' attribute)
     if args.set:
-        cfg.merge_from_dict(parse_dict_action(args.set))
+        overrides = parse_dict_action(args.set)
+        cfg.merge_from_dict(overrides)
+        # an epochs/batch_size override invalidates the schedule length
+        # derived above — re-derive unless the user pinned it explicitly
+        if ("epochs" in overrides or "batch_size" in overrides) \
+                and "total_iter" not in overrides:
+            cfg.total_iter = (n_train // cfg.batch_size) * cfg.epochs
+            cfg.scheduler = dict(type="CosineAnnealingLR",
+                                 T_max=cfg.total_iter)
     return cfg
 
 

@@ -104,13 +104,20 @@ def main():
         print(json.dumps(b), flush=True)
 
     if prev:
-        record["r3_random_weights_proxy"] = {
-            "tiles_per_sec": prev.get("value"),
-            "km_lane_per_hour_throughput_proxy": prev.get(
-                "km_lane_per_hour"),
-            "note": "round-3 random-init pipeline-throughput record "
-                    "(headline until r4; kept for history)",
-        }
+        if "r3_random_weights_proxy" in prev:
+            # prev is already an r4-format record (trained weights): its
+            # headline is NOT the random-init proxy — carry the original
+            # proxy forward unchanged instead of relabeling trained numbers
+            record["r3_random_weights_proxy"] = prev[
+                "r3_random_weights_proxy"]
+        else:
+            record["r3_random_weights_proxy"] = {
+                "tiles_per_sec": prev.get("value"),
+                "km_lane_per_hour_throughput_proxy": prev.get(
+                    "km_lane_per_hour"),
+                "note": "round-3 random-init pipeline-throughput record "
+                        "(headline until r4; kept for history)",
+            }
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
     print(f"[stream_bench] wrote {args.out}")

@@ -98,7 +98,7 @@ def main():
         state = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, state)
-    from lanemapping_tpu.engine.state import make_eval_step
+    from lanemapping_tpu.engine.state import is_mono_batch, make_eval_step
     eval_step = make_eval_step(runner.model)
     # only the keys the host postprocess consumes cross the tunnel; with
     # anchor-row seg maps this is ~0.45 MB/tile of readback instead of the
@@ -193,14 +193,10 @@ def main():
 
     def to_u8(proj):
         a = np.rint(np.asarray(proj) * 255.0).astype(np.uint8)
-        # BEV intensity tiles are one LiDAR return intensity replicated to
-        # 3 PNG channels (ref `laserlane_proposals.py:85-98` loads them
-        # unchanged); when a whole batch is mono, ship ONE channel and
-        # broadcast on device — 3x less H2D, bit-identical activations.
+        # mono-batch squeeze shared with Runner (engine.state.is_mono_batch):
+        # ship ONE channel, broadcast on device — 3x less H2D, bit-identical.
         # Mixed/true-RGB batches ship all 3 (jit specialises per shape).
-        if a.ndim == 4 and a.shape[-1] == 3 and \
-                np.array_equal(a[..., 0], a[..., 1]) and \
-                np.array_equal(a[..., 1], a[..., 2]):
+        if is_mono_batch(a):
             return np.ascontiguousarray(a[..., :1])
         return a
 

@@ -74,7 +74,15 @@ def main():
               "date": time.strftime("%Y-%m-%d"), "cells": []}
     if os.path.isfile(args.out):
         with open(args.out) as f:
-            record["round3_baseline"] = json.load(f)
+            prev = json.load(f)
+        # stash the single-cell round-3 record once; a re-run of the sweep
+        # must not nest its own output (sweep format has "cells") under a
+        # key that claims to be the round-3 baseline
+        if "cells" in prev:
+            if "round3_baseline" in prev:
+                record["round3_baseline"] = prev["round3_baseline"]
+        else:
+            record["round3_baseline"] = prev
 
     cells = [(b, pol) for b in args.batches for pol in args.policies]
     if args.also_none_at:

@@ -64,7 +64,7 @@ def main_train():
     fused = os.environ.get("BENCH_FUSED_SEG", "1") == "1"
     cfg.fused_seg_focal = fused
     cfg.seg_focal_chunks = int(os.environ.get("BENCH_SEG_CHUNKS", "1"))
-    B = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))  # TRAIN_BENCH winner
     img = cfg.list_img_size_xy[0]
     S, P = cfg.heads.row_size, cfg.heads.num_prop
     W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff

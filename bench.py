@@ -192,7 +192,8 @@ def main():
                                        "Proj_polyline_fpn_vit_vertex_2.py"))
     model = build_model(cfg)
     img = cfg.list_img_size_xy[0]
-    batch = int(os.environ.get("BENCH_BATCH", "64"))  # 8/16/32/64: 108/112/127/128.7 t/s
+    # 8/16/32/64: 108/112/127/128.7 t/s; 128: compile OOM (20.5 > 15.75 GB)
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" \
         else jnp.float32
 

@@ -204,3 +204,63 @@ def build_row_shar(cfg=None, dim_feat=8, row_size=144, dim_shared=512,
 @HEADS.register_module(name="GridSeg")
 def build_grid_seg(cfg=None, num_1=1024, num_2=2048, num_classes=7, **kw):
     return GridSeg(num_1=num_1, num_2=num_2, num_classes=num_classes)
+
+
+class PixelSeg(nn.Module):
+    """Per-pixel class segmentation head.
+
+    The reference's `heads/pixel_seg.py` is a broken 42-line skeleton (its
+    `class_predictor` references undefined `num_1`/`num_2`, its lane-map and
+    RGB hooks return empty values) that ships registered but unusable.  This
+    is the working realisation of its evident intent: a 2-layer 1x1-conv
+    per-pixel class predictor over the backbone feature map, CE loss, and
+    an argmax class-map decode with the palette visualisation the stub
+    sketched (`pixel_seg.py:21-41`).
+    """
+
+    num_1: int = 64    # the stub's undefined hidden widths, resolved to
+    num_2: int = 128   # the backbone's channel scale
+    num_classes: int = 7
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, need_prop_seg=None):
+        h = nn.Conv(self.num_2, (1, 1), name="cls_fc1")(x)
+        cls = nn.Conv(self.num_classes, (1, 1), name="cls_fc2")(h)
+        return {"cls": cls}
+
+
+def pixel_seg_loss(out, batch, num_classes: int,
+                   dataset_type: str = "LaserLane"):
+    """CE over per-pixel class labels, same label formatting as GridSeg
+    (the stub predates the conf branch; background folds into the last
+    class)."""
+    label = batch["label"][:, :, :out["cls"].shape[2]].astype(jnp.int32)
+    label = label[:, ::-1, ::-1]
+    if dataset_type == "LaserLane":
+        cls_lb = jnp.where(label == 0, num_classes - 1, label - 1)
+    else:
+        cls_lb = jnp.where(label == 255, num_classes - 1, label)
+    cls_loss = jnp.mean(cross_entropy_with_int_labels(out["cls"], cls_lb))
+    return {"loss": cls_loss, "loss_stats": {"cls": cls_loss}}
+
+
+# fixed HSV-spread palette for class-map display (`pixel_seg.py:38-41`)
+PIXEL_SEG_PALETTE = jnp.array(
+    [[255, 64, 64], [255, 160, 64], [224, 224, 64], [64, 224, 64],
+     [64, 192, 224], [96, 64, 255], [224, 64, 224], [0, 0, 0]],
+    jnp.uint8)
+
+
+def pixel_seg_decode(out):
+    """argmax class map + RGB render (the stub's empty
+    `get_lane_map_numpy_with_label` / `get_rgb_img_from_cls_map`)."""
+    cls_map = jnp.argmax(out["cls"], axis=-1)
+    pal = PIXEL_SEG_PALETTE[:out["cls"].shape[-1]]
+    n = pal.shape[0]
+    rgb = jnp.take(pal, jnp.clip(cls_map, 0, n - 1), axis=0)
+    return {"cls_map": cls_map, "rgb": rgb}
+
+
+@HEADS.register_module(name="PixelSeg")
+def build_pixel_seg(cfg=None, num_1=64, num_2=128, num_classes=7, **kw):
+    return PixelSeg(num_1=num_1, num_2=num_2, num_classes=num_classes)

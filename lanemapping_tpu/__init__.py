@@ -65,7 +65,8 @@ from .registry import (BACKBONE, DATASETS, HEADS, NET, PCENCODER,  # noqa: F401
 # reference package-__init__ registration side effects,
 # `baseline/models/heads/__init__.py:1-4` etc.).
 from .models import (column_head, legacy, lidar_encoder, nets,  # noqa: F401,E402
-                     resnet_fpn, resnet_fpn_family, row_head, swin, vit)
+                     resnet_fpn, resnet_fpn_family, row_head, row_head_base,
+                     swin, vit)
 from .data import laserlane  # noqa: F401,E402
 from .data import las_tiles  # noqa: F401,E402
 from .models.nets import build_model  # noqa: F401

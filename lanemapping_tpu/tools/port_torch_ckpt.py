@@ -35,14 +35,31 @@ def _conv1d_dense(w):  # torch conv1d k=1 [O,I,1] -> [I,O]
     return np.transpose(w[:, :, 0], (1, 0))
 
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path: str, mmcls: bool = False
+                          ) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint into {name: ndarray}.
+
+    Covers the reference `mmcv_custom/checkpoint.py` file-format semantics:
+    state_dict extraction from {net|state_dict|model|raw} containers
+    (`_load_checkpoint`), DataParallel ``module.`` prefix strip
+    (`load_checkpoint:303-306`), and — with ``mmcls=True`` — the mmcls
+    ``backbone.`` prefix remap (`_process_mmcls_checkpoint:214-222`).  The
+    reference's URL/pavi/s3 fetchers (`:109-170`) are deliberately absent:
+    this image has zero egress and they only feed the dead Swin path; local
+    files cover every shipped flow.
+    """
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("net", ckpt.get("state_dict", ckpt))
+    sd = ckpt if not isinstance(ckpt, dict) else \
+        ckpt.get("net", ckpt.get("state_dict", ckpt.get("model", ckpt)))
     out = {}
     for k, v in sd.items():
         k = k.replace("module.", "", 1) if k.startswith("module.") else k
+        if mmcls:
+            if not k.startswith("backbone."):
+                continue
+            k = k[len("backbone."):]
         out[k] = v.detach().cpu().numpy()
     return out
 

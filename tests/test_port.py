@@ -153,3 +153,25 @@ def test_porter_maps_fabricated_state_dict(tiny_cfg):
     # BN running stats landed in batch_stats
     m = sd["pcencoder.fpn.bn1.running_mean"]
     np.testing.assert_allclose(new_bs["pcencoder"]["bn1"]["mean"], m)
+
+
+def test_load_torch_state_dict_mmcv_formats(tmp_path):
+    """mmcv_custom/checkpoint.py file-format semantics: container
+    extraction ({state_dict|model|net}), DataParallel `module.` strip, and
+    the mmcls `backbone.` remap (`_process_mmcls_checkpoint:214-222`)."""
+    import torch
+    from lanemapping_tpu.tools.port_torch_ckpt import load_torch_state_dict
+
+    w = torch.arange(6, dtype=torch.float32).reshape(2, 3)
+    # mmcls-style container: backbone.-prefixed keys + a head to drop
+    p1 = str(tmp_path / "mmcls.pth")
+    torch.save({"state_dict": {"backbone.patch_embed.weight": w,
+                               "head.fc.weight": w}}, p1)
+    sd = load_torch_state_dict(p1, mmcls=True)
+    assert list(sd) == ["patch_embed.weight"]
+
+    # DataParallel 'module.' prefix inside a 'model' container
+    p2 = str(tmp_path / "dp.pth")
+    torch.save({"model": {"module.layer1.weight": w}}, p2)
+    sd = load_torch_state_dict(p2)
+    assert list(sd) == ["layer1.weight"]

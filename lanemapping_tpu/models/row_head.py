@@ -20,6 +20,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.losses import cross_entropy_with_int_labels
 from ..registry import HEADS
@@ -244,18 +245,21 @@ def pixel_seg_loss(out, batch, num_classes: int,
     return {"loss": cls_loss, "loss_stats": {"cls": cls_loss}}
 
 
-# fixed HSV-spread palette for class-map display (`pixel_seg.py:38-41`)
-PIXEL_SEG_PALETTE = jnp.array(
+# fixed HSV-spread palette for class-map display (`pixel_seg.py:38-41`).
+# Kept as numpy: a module-level jnp.array would initialise the XLA backend
+# at import time, which breaks jax.distributed.initialize in multi-host
+# entrypoints (they import the package before calling initialize)
+PIXEL_SEG_PALETTE = np.array(
     [[255, 64, 64], [255, 160, 64], [224, 224, 64], [64, 224, 64],
      [64, 192, 224], [96, 64, 255], [224, 64, 224], [0, 0, 0]],
-    jnp.uint8)
+    np.uint8)
 
 
 def pixel_seg_decode(out):
     """argmax class map + RGB render (the stub's empty
     `get_lane_map_numpy_with_label` / `get_rgb_img_from_cls_map`)."""
     cls_map = jnp.argmax(out["cls"], axis=-1)
-    pal = PIXEL_SEG_PALETTE[:out["cls"].shape[-1]]
+    pal = jnp.asarray(PIXEL_SEG_PALETTE[:out["cls"].shape[-1]])
     n = pal.shape[0]
     rgb = jnp.take(pal, jnp.clip(cls_map, 0, n - 1), axis=0)
     return {"cls_map": cls_map, "rgb": rgb}

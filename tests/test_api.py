@@ -88,3 +88,24 @@ def test_mixed_precision_train_step(tiny_cfg, synth_root, tmp_path):
     # master params stay f32
     leaf = jax.tree.leaves(runner.state.params)[0]
     assert leaf.dtype == np.float32
+
+
+def test_package_import_does_not_initialise_backend():
+    """Multi-host entrypoints import the package BEFORE
+    jax.distributed.initialize; any module-level device-array creation
+    (e.g. a jnp constant) initialises the XLA backend at import time and
+    breaks initialize() with 'must be called before any JAX calls'.
+    Regression guard: import in a clean subprocess and assert no backend."""
+    import subprocess
+    import sys
+    code = (
+        "import lanemapping_tpu\n"
+        "from jax._src import xla_bridge\n"
+        "assert not dict(getattr(xla_bridge, '_backends', {})), "
+        "'package import initialised an XLA backend'\n"
+        "print('clean')\n")
+    p = subprocess.run([sys.executable, "-c", code],
+                       env={**__import__('os').environ,
+                            "JAX_PLATFORMS": "cpu"},
+                       capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0 and "clean" in p.stdout, p.stderr[-1500:]

@@ -192,7 +192,8 @@ def main():
                                        "Proj_polyline_fpn_vit_vertex_2.py"))
     model = build_model(cfg)
     img = cfg.list_img_size_xy[0]
-    # 8/16/32/64: 108/112/127/128.7 t/s; 128: compile OOM (20.5 > 15.75 GB)
+    # 8/16/32/64: 108/112/127/128.7 t/s; 96: compile OOM by a hair
+    # (15.98 > 15.75 GB), 128: OOM (20.5 GB) — 64 is the HBM ceiling
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" \
         else jnp.float32

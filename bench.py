@@ -69,18 +69,34 @@ def main_train():
     S, P = cfg.heads.row_size, cfg.heads.num_prop
     W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff
 
+    # raw-point LiDAR config (`use_lidar`): bench the voxelize + z-folded
+    # encoder train step on a padded static point buffer instead of BEV
+    use_lidar = bool(cfg.get("use_lidar", False))
+    n_pts = int(os.environ.get("BENCH_LIDAR_POINTS", str(1 << 17)))
+    if use_lidar:
+        cfg.max_points = n_pts
+
     model = build_model(cfg)
     tx = build_optimizer(cfg)
-    state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                               jnp.zeros((1, img, img, 3), jnp.float32))
+    example = ({"points": jnp.zeros((1, n_pts, 4), jnp.float32),
+                "points_mask": jnp.zeros((1, n_pts), bool)}
+               if use_lidar else jnp.zeros((1, img, img, 3), jnp.float32))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), example)
     hp = head_hparams(cfg)
     step = make_train_step(model, tx,
                            lambda out, b: column_proposal_loss(out, b, hp),
-                           compute_dtype=jnp.bfloat16)
+                           compute_dtype=jnp.bfloat16, use_lidar=use_lidar)
 
     rng = np.random.RandomState(0)
+    if use_lidar:
+        lo = np.array(cfg.lidar_point_cloud_range[:3] + [800.0], np.float32)
+        hi = np.array(cfg.lidar_point_cloud_range[3:] + [33000.0], np.float32)
+        pts = lo + rng.rand(B, n_pts, 4).astype(np.float32) * (hi - lo)
+        inp = {"points": pts, "points_mask": np.ones((B, n_pts), bool)}
+    else:
+        inp = {"proj": rng.rand(B, img, img, 3).astype(jnp.bfloat16)}
     batch = {
-        "proj": rng.rand(B, img, img, 3).astype(jnp.bfloat16),
+        **inp,
         "prop_ext": rng.randint(0, 3, (B, P, S)).astype(np.uint8),
         "prop_coor": rng.uniform(-1, W, (B, P, S)).astype(np.float32),
         "prop_offset": rng.randn(B, P, S, W).astype(np.float32),
@@ -169,6 +185,8 @@ def main_train():
         "unit": "s/step",
         "batch": B,
         "img": img,
+        "use_lidar": use_lidar,
+        "lidar_points": n_pts if use_lidar else None,
         "fused_seg_focal": fused,
         "seg_focal_chunks": cfg.seg_focal_chunks,
         "remat": cfg.remat,

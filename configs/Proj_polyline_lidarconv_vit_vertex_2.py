@@ -35,6 +35,10 @@ dataset = dict(
     test=dict(type="LaserLaneProposalEgo"),
 )
 
-batch_size = 4  # memory-bound (reference `:140-148`)
-total_iter = (2904 // 4) * 45
-scheduler = dict(T_max=(2904 // 4) * 45)
+# Reference trains this variant at batch 4 ("memory-bound", its `:140-148`).
+# On v5e the r4 sweep measured batch 8 at 34.9 tiles/s vs 21.1 at batch 4
+# (TRAIN_BENCH.json lidar_cells) at 11.35 of 16 GB HBM — the reference's
+# memory bound does not apply to the z-folded dense formulation.
+batch_size = 8
+total_iter = (2904 // batch_size) * 45
+scheduler = dict(T_max=total_iter)

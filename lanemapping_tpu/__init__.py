@@ -32,7 +32,15 @@ def _tpu_like_platform() -> bool:
             plats = _jax.config.jax_platforms or ""
         except Exception:
             plats = ""
-    return any(p in plats for p in ("tpu", "axon"))
+    if any(p in plats for p in ("tpu", "axon")):
+        return True
+    if plats:
+        return False
+    # Platform unset anywhere (stock TPU VM resolving the backend
+    # implicitly): treat as TPU when a TPU runtime is importable, so the
+    # persistent cache is not silently disabled there.
+    import importlib.util as _ilu
+    return any(_ilu.find_spec(m) is not None for m in ("libtpu", "libtpu_nightly"))
 
 
 if not _os.environ.get("LANEMAPPING_NO_COMPILE_CACHE") \

@@ -225,7 +225,8 @@ class PixelSeg(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, need_prop_seg=None):
-        h = nn.Conv(self.num_2, (1, 1), name="cls_fc1")(x)
+        h = nn.Conv(self.num_1, (1, 1), name="cls_fc0")(x)
+        h = nn.Conv(self.num_2, (1, 1), name="cls_fc1")(h)
         cls = nn.Conv(self.num_classes, (1, 1), name="cls_fc2")(h)
         return {"cls": cls}
 

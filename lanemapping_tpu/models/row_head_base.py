@@ -7,12 +7,22 @@ never imports it).  It is the evolutionary bridge the final head grew from:
 column proposals with a conv proposal generator + lane-correlator
 transformer (`:240-274`, later ColumnProposal2's optional `column_att`),
 per-proposal windowed ext/cls/offset heads driven by seg-attention row
-tokens run through a ROW transformer (`:284-347`, dropped in the final
-head), and an `endp_mode='Regr'` endpoint-regression FFN (`:216-224`,
-replaced by the endpoint heatmap).  Re-expressed TPU-first: the reference's
-python loops over batch x 72 proposals (`:450-460`) and per-proposal window
-slices (`:503-549`) become one strided window gather + batched matmuls, and
-the per-proposal row transformer runs all B*P token sequences in one call.
+tokens (`:284-347,494-549`), and an `endp_mode='Regr'` endpoint-regression
+FFN (`:216-224`, replaced by the endpoint heatmap).  Re-expressed
+TPU-first: the reference's python loops over batch x 72 proposals
+(`:450-460`) and per-proposal window slices (`:503-549`) become one strided
+window gather + batched matmuls.
+
+DELIBERATE ADDITION, not ported behavior: this module also runs the row
+tokens through a ROW transformer before the prediction heads.  In the
+reference's *executed* forward every row-transformer invocation is
+commented out (`:503-549` — `tokens_after = to_token_row_seg_attention(
+tokens_before)` feeds ext2/cls2/offset2 directly), and the module it
+constructs for that purpose reuses the lane-correlator hyperparameters
+(`tr_depth`/`tr_heads`), not dedicated row ones.  We realise the sketched
+design as a live, batched transformer over all B*P row-token sequences
+(hyperparams `row_tr_*` below); drop-in equivalence with the reference's
+executed graph is NOT claimed for this sub-block.
 
 Output contract matches ColumnProposal2 (proposal_conf / ext2 / cls2 /
 offset2 / orient / endpoint / prop_seg_small), so `column_proposal_loss`
@@ -27,7 +37,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interp import _interp_matrix_np, resize_bilinear_ac
+from ..ops.interp import _upsample_then_pool_np, resize_bilinear_ac
 from ..registry import HEADS
 from .column_head import _window_index
 from .transformer import Transformer
@@ -161,9 +171,13 @@ class RowSharNotReducRefBase(nn.Module):
         out["prop_seg_small"] = seg_win
 
         # seg-attention tokens (`:514-519` _downsample_multiply + to_token):
-        # pool the seg window to (S,W) and multiply into the local features
-        dh = jnp.asarray(_interp_matrix_np(2 * S, S), seg_win.dtype)
-        dw = jnp.asarray(_interp_matrix_np(2 * W, W), seg_win.dtype)
+        # the reference computes avg_pool2d(kernel=8) over the 8x-upsampled
+        # seg window; fuse the exact composite into one operator matrix per
+        # axis (same pattern as column_head.py spatial_att)
+        dh = jnp.asarray(_upsample_then_pool_np(2 * S, 8 * S, 8),
+                         seg_win.dtype)
+        dw = jnp.asarray(_upsample_then_pool_np(2 * W, 8 * W, 8),
+                         seg_win.dtype)
         att = jnp.einsum("oh,bphw->bpow", dh, seg_win)
         att = jnp.einsum("ow,bphw->bpho", dw, att)  # [B,P,S,W]
         tok_in = att[..., None] * local  # [B,P,S,W,F]
@@ -172,9 +186,11 @@ class RowSharNotReducRefBase(nn.Module):
             B, P, S, F_ * W)
         tok = nn.Dense(self.row_dim_token, name="to_token_row_seg_att")(tok)
 
-        # row correlator: one transformer over the S row tokens of EVERY
-        # (batch, proposal) sequence at once (`:303-306`, the mechanism the
-        # final head dropped)
+        # row correlator — deliberate addition (see module docstring): the
+        # reference sketches this transformer (`:303-306`) but its executed
+        # forward comments out every invocation; here the sketched design
+        # runs live over the S row tokens of EVERY (batch, proposal)
+        # sequence at once
         rt = tok.reshape(B * P, S, self.row_dim_token)
         rt = Transformer(self.row_dim_token, self.row_tr_depth,
                          self.row_tr_heads, self.row_tr_dim_head,

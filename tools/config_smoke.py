@@ -111,18 +111,22 @@ def main():
     args = ap.parse_args()
 
     import jax
-    record = {"provenance": {
+    provenance = {
         "data_root": args.data_root,
         "backend": jax.default_backend(),
         "devices": [str(d) for d in jax.devices()],
         "date": time.strftime("%Y-%m-%d"),
-    }, "configs": {}}
+    }
+    record = {"provenance": provenance, "configs": {}}
     if os.path.isfile(args.out):
-        # merge-resume: keep earlier configs' entries but NOT the old
-        # provenance — this run's measurements belong to this run's
-        # backend/data-root/date
+        # merge-resume: keep earlier configs' entries; each entry carries
+        # its own measurement-time provenance, so carried-over entries are
+        # not mislabeled as measured under this run's backend/data-root/date
         with open(args.out) as f:
-            record["configs"] = json.load(f).get("configs", {})
+            prior = json.load(f)
+        for k, v in prior.get("configs", {}).items():
+            v.setdefault("provenance", prior.get("provenance", {}))
+            record["configs"][k] = v
 
     for name in args.configs:
         print(f"[config_smoke] === {name} ===", flush=True)
@@ -130,6 +134,7 @@ def main():
             entry = smoke_one(name, args)
         except Exception:
             entry = {"config": name, "error": traceback.format_exc()[-2000:]}
+        entry["provenance"] = dict(provenance)
         record["configs"][name] = entry
         with open(args.out, "w") as f:
             json.dump(record, f, indent=1)

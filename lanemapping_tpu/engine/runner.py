@@ -181,6 +181,47 @@ class Runner:
                     Image.fromarray(img).save(
                         os.path.join(out_dir, f"{name}_overlay.png"))
 
+    def infer_grid_and_export(self, loader, out_dir: str,
+                              max_batches: Optional[int] = None,
+                              write_view: bool = False) -> None:
+        """KLane grid-head inference/export driver (reference ``infer_lane``,
+        `runner.py:473-604`): decode the row/grid head, greedy-smooth the
+        per-lane vertices, write lane-seq JSONs and optional overlay + RGB
+        class-map PNGs (`:552-564` ``rgb_conf_cls_idx``)."""
+        from ..decode.row_decode import decode_row_lanes, row_lane_maps
+        from ..tools.export_lanes import lane_records
+        import json as _json
+
+        head_type = self.cfg.heads.type
+        os.makedirs(out_dir, exist_ok=True)
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            out = self._eval_step(self.state, self._eval_input(batch))
+            if head_type == "RowSharNotReducRef":
+                pred = self._local_rows(
+                    decode_row_lanes(out, self.cfg.number_lanes))
+            else:  # GridSeg
+                pred = self._local_rows(
+                    {"conf": out["conf"], "cls": out["cls"]})
+            maps = row_lane_maps(pred, self.cfg, head_type)
+            names = batch.get("image_name",
+                              [f"b{i}_{j}" for j in
+                               range(batch["proj"].shape[0])])
+            for j, name in enumerate(names):
+                with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
+                    _json.dump(lane_records(maps["cls_offset_smooth"][j]), f)
+                if write_view:
+                    from PIL import Image
+                    from ..utils.vis_utils import (render_lane_overlays,
+                                                   rgb_cls_map)
+                    img = render_lane_overlays(
+                        batch["proj"][j], maps["cls_offset_smooth"][j])
+                    Image.fromarray(img).save(
+                        os.path.join(out_dir, f"{name}_overlay.png"))
+                    Image.fromarray(rgb_cls_map(maps["cls_idx"][j])).save(
+                        os.path.join(out_dir, f"{name}_grid.png"))
+
     def infer_segmentor_and_export(self, loader, out_dir: Optional[str] = None,
                                    max_batches: Optional[int] = None,
                                    write_view: bool = False) -> Dict:
@@ -512,9 +553,10 @@ class Runner:
                                       maps["cls_offset_smooth"][b][:, :, 0],
                                       buffer_px=buff, img_size=img_size)
                 coor.append(m["f1"])
-                endp.append(eval_metric_endp_detector(
+                e = eval_metric_endp_detector(
                     np.argwhere(maps["endp_by_cls"][b] > 0),
-                    batch["endp_map"][b], r_thre=2 * buff)["f1"])
+                    batch["endp_map"][b], r_thre=2 * buff)
+                endp.append((e["f1"], e["acc"], e["recall"]))
                 if "mask" in batch:
                     # per-class semantic F1 on the re-rendered lane map:
                     # solid (1) and dashed (2) skeletonised + matched
@@ -563,7 +605,9 @@ class Runner:
                         results.append(futs.popleft().result())
                 results.extend(f.result() for f in futs)
         coor_f1s = [v for r in results for v in r[0]]
-        endp_f1s = [v for r in results for v in r[1]]
+        endp_f1s = [v[0] for r in results for v in r[1]]
+        endp_accs = [v[1] for r in results for v in r[1]]
+        endp_recs = [v[2] for r in results for v in r[1]]
         sem_counts = {k: 0 for k in ("tp", "n_pred", "dg", "n_gt")}
         saw_mask = False
         for r in results:
@@ -573,11 +617,19 @@ class Runner:
                     sem_counts[k] += r[2][k]
         coor = float(np.mean(coor_f1s)) if coor_f1s else 0.0
         endp = float(np.mean(endp_f1s)) if endp_f1s else 0.0
+        # precision/recall attribution for the endpoint term (which training
+        # lever to pull depends on whether the 0.7 ceiling is missed peaks or
+        # spurious ones)
+        endp_a = float(np.mean(endp_accs)) if endp_accs else 0.0
+        endp_r = float(np.mean(endp_recs)) if endp_recs else 0.0
         scalars, sem_counts = self._merge_metrics(
-            {"coor_f1": coor, "endp_f1": endp},
+            {"coor_f1": coor, "endp_f1": endp,
+             "endp_acc": endp_a, "endp_recall": endp_r},
             sem_counts if saw_mask else None)
         coor, endp = scalars["coor_f1"], scalars["endp_f1"]
         metrics = {"coor_f1": coor, "endp_f1": endp,
+                   "endp_acc": scalars["endp_acc"],
+                   "endp_recall": scalars["endp_recall"],
                    "composite": 0.9 * coor + 0.1 * endp}
         if saw_mask:
             from ..utils.metrics import prf_from_counts

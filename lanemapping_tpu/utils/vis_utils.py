@@ -82,6 +82,18 @@ def draw_endpoints(canvas: np.ndarray, endp_coors: np.ndarray,
     return canvas
 
 
+def rgb_cls_map(cls_idx: np.ndarray) -> np.ndarray:
+    """Per-lane-id RGB rendering of a grid class map (reference
+    `row_shared_not_reduc_ref.py:735-744` ``get_rgb_img_from_cls_map``,
+    vectorised; 255 = background = black)."""
+    cls_idx = np.asarray(cls_idx)
+    palette = np.array(CLS_LANE_COLORS, dtype=np.uint8)
+    lane = cls_idx != 255
+    out = np.zeros(cls_idx.shape + (3,), dtype=np.uint8)
+    out[lane] = palette[cls_idx[lane] % len(palette)]
+    return out
+
+
 def render_lane_overlays(proj: np.ndarray, ply: np.ndarray,
                          endp_map: Optional[np.ndarray] = None) -> np.ndarray:
     """One-call overlay of final decoded polylines + endpoints on a tile."""

@@ -50,12 +50,18 @@ def main():
 
     if args.save_lanes:
         loader2 = build_dataloader(split_cfg, cfg, is_train=False)
+        head_type = cfg.heads.type if "heads" in cfg else None
         if cfg.net.type == "Segmentor":
             m = runner.infer_segmentor_and_export(
                 loader2, args.save_lanes, max_batches=args.max_batches,
                 write_view=args.view)
             print(json.dumps({"segmentor_infer": m}))
             print(f"[infer] segmentor maps written to {args.save_lanes}")
+        elif head_type in ("RowSharNotReducRef", "GridSeg"):
+            runner.infer_grid_and_export(loader2, args.save_lanes,
+                                         max_batches=args.max_batches,
+                                         write_view=args.view)
+            print(f"[infer] grid-head lane seqs written to {args.save_lanes}")
         else:
             runner.infer_and_export(loader2, args.save_lanes,
                                     max_batches=args.max_batches,

@@ -33,6 +33,10 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# Derived in BASELINE.md ("Derivation of the 25 tiles/s RTX-4090
+# denominator", tools/derive_baseline.py -> BASELINE_DERIVATION.json):
+# measured-serial reference harness ~6.6 tiles/s, pure-GPU roofline 41-76;
+# 25 = generous fully-pipelined-deployment middle.
 BASELINE_4090_TILES_PER_SEC = 25.0
 N_CHIPS_TARGET = 8
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
@@ -265,8 +269,11 @@ def main():
         "vs_baseline": round(tiles_per_sec / BASELINE_4090_TILES_PER_SEC, 2),
         "baseline_estimated": True,
         "baseline_assumption": f"RTX-4090 {BASELINE_4090_TILES_PER_SEC} "
-                               "tiles/s estimate (BASELINE.md; reference "
-                               "publishes no throughput numbers)",
+                               "tiles/s derived denominator (BASELINE.md "
+                               "derivation + BASELINE_DERIVATION.json: "
+                               "measured-serial reference harness ~6.6, "
+                               "pure-GPU roofline 41-76; 25 = generous "
+                               "pipelined-deployment middle)",
         "projected_8chip_vs_baseline": round(
             tiles_per_sec * N_CHIPS_TARGET / BASELINE_4090_TILES_PER_SEC, 2),
     }

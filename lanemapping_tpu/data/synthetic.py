@@ -42,6 +42,49 @@ def random_lane_seqs(rng: np.random.RandomState, img: int = 1152,
     return seqs
 
 
+def hard_lane_seqs(rng: np.random.RandomState, img: int = 1152,
+                   n_lanes: int = 5) -> List[np.ndarray]:
+    """Adversarial lane geometry (VERDICT r4 #7: stress the tracker/NMS the
+    way real WHU-Lane intersections do): strong curvature, varying extents,
+    merging branches that share a vertex with their parent lane, and an
+    occasional diagonal crossing lane."""
+    seqs = []
+    base_cols = np.sort(rng.uniform(0.12 * img, 0.88 * img, n_lanes))
+    for c0 in base_cols:
+        top = rng.uniform(0.02 * img, 0.25 * img)
+        bot = rng.uniform(0.75 * img, 0.98 * img)
+        n_v = rng.randint(10, 20)
+        rows = np.linspace(top, bot, n_v)
+        t = (rows - top) / (bot - top)
+        drift = rng.uniform(-0.18, 0.18) * img
+        curve = rng.uniform(-0.15, 0.15) * img  # quadratic bow
+        wiggle = rng.uniform(0.0, 0.05) * img
+        cols = (c0 + drift * t + curve * 2.0 * t * (1.0 - t)
+                + wiggle * np.sin(t * np.pi * rng.uniform(1, 4)))
+        seqs.append(np.stack([rows, np.clip(cols, 2, img - 3)], axis=1))
+    if n_lanes >= 2 and rng.rand() < 0.5:
+        # merging branch: starts ON a parent vertex, diverges downward
+        parent = seqs[rng.randint(len(seqs))]
+        k = rng.randint(1, max(2, len(parent) // 2))
+        start = parent[k]
+        bot = rng.uniform(0.80, 0.98) * img
+        if bot - start[0] > 0.2 * img:
+            rows = np.linspace(start[0], bot, rng.randint(6, 12))
+            t = (rows - rows[0]) / (rows[-1] - rows[0])
+            sep = rng.uniform(0.04, 0.12) * img * rng.choice([-1.0, 1.0])
+            cols = start[1] + sep * t + rng.uniform(-0.03, 0.03) * img * t * t
+            seqs.append(np.stack([rows, np.clip(cols, 2, img - 3)], axis=1))
+    if rng.rand() < 0.4:
+        # crossing lane: straight diagonal across the others
+        top = rng.uniform(0.05, 0.30) * img
+        bot = rng.uniform(0.70, 0.95) * img
+        rows = np.linspace(top, bot, rng.randint(8, 14))
+        c_a, c_b = rng.uniform(0.1 * img, 0.9 * img, 2)
+        cols = c_a + (c_b - c_a) * np.linspace(0.0, 1.0, len(rows))
+        seqs.append(np.stack([rows, np.clip(cols, 2, img - 3)], axis=1))
+    return seqs
+
+
 def _densify(seq: np.ndarray, step: float = 1.0) -> np.ndarray:
     """Resample a [V,2] polyline at ~``step``-px arc-length spacing."""
     d = np.hypot(*np.diff(seq, axis=0).T)
@@ -52,9 +95,23 @@ def _densify(seq: np.ndarray, step: float = 1.0) -> np.ndarray:
                      np.interp(t, arc, seq[:, 1])], axis=1), t
 
 
+def _runs_to_pieces(dense: np.ndarray, keep: np.ndarray) -> List[np.ndarray]:
+    """Split an arc-length-dense polyline into kept runs."""
+    pieces, run = [], []
+    for p, k in zip(dense, keep):
+        if k:
+            run.append(p)
+        elif run:
+            pieces.append(np.asarray(run))
+            run = []
+    if run:
+        pieces.append(np.asarray(run))
+    return pieces
+
+
 def render_intensity_image(seqs, img: int = 1152,
                            rng: np.random.RandomState = None,
-                           semantics=None) -> np.ndarray:
+                           semantics=None, hard: bool = False) -> np.ndarray:
     """Grayscale-ish BEV intensity PNG: noisy ground + bright lane marks.
 
     When ``semantics`` is given, dashed lanes (class 2) render as dash/gap
@@ -62,6 +119,11 @@ def render_intensity_image(seqs, img: int = 1152,
     without this the solid/dashed class is unlearnable from the image and
     semantic F1 caps near 0.5 regardless of training.  Labels stay
     continuous polylines either way (matching WHU-Lane's annotation style).
+
+    ``hard`` (VERDICT r4 #7) adds the degradations real MLS intensity BEVs
+    show: per-lane dash-density variation, along-lane paint-wear dropout,
+    and dark occlusion patches (parked vehicles / scan shadows) that
+    erase marks while the labels stay complete.
     """
     rng = rng or np.random.RandomState(0)
     ground = rng.normal(60, 15, (img, img)).clip(0, 255)
@@ -70,19 +132,22 @@ def render_intensity_image(seqs, img: int = 1152,
         dashed = semantics is not None and int(semantics[i]) == 2
         if dashed:
             dense, arc = _densify(np.asarray(s, np.float64), step=1.0)
-            period, duty = 120.0, 60.0  # px: 3 m dash, 3 m gap
+            if hard:  # dash-density variation per lane
+                period = rng.uniform(80.0, 200.0)
+                duty = period * rng.uniform(0.3, 0.7)
+            else:
+                period, duty = 120.0, 60.0  # px: 3 m dash, 3 m gap
             phase = rng.uniform(0, period)
             keep = ((arc + phase) % period) < duty
-            pieces = []
-            run = []
-            for p, k in zip(dense, keep):
-                if k:
-                    run.append(p)
-                elif run:
-                    pieces.append(np.asarray(run))
-                    run = []
-            if run:
-                pieces.append(np.asarray(run))
+            pieces = _runs_to_pieces(dense, keep)
+        elif hard:
+            # paint-wear dropout on solid lanes: drop 10-30% of the arc in
+            # smooth runs (a sine gate keeps the drops contiguous)
+            dense, arc = _densify(np.asarray(s, np.float64), step=1.0)
+            gate = np.sin(arc / rng.uniform(40.0, 120.0)
+                          + rng.uniform(0, 2 * np.pi))
+            keep = gate > rng.uniform(-0.8, -0.4)
+            pieces = _runs_to_pieces(dense, keep)
         else:
             pieces = [np.asarray(s, np.float64)]
         for piece in pieces:
@@ -92,7 +157,19 @@ def render_intensity_image(seqs, img: int = 1152,
                 shifted = piece.copy()
                 shifted[:, 1] = np.clip(shifted[:, 1] + d, 0, img - 1)
                 rasterize_polyline(marks, shifted, 1.0)
+    if hard:
+        # occlusion patches: erase marks and darken the ground beneath
+        for _ in range(rng.randint(1, 4)):
+            ph = rng.randint(img // 24, img // 6)
+            pw = rng.randint(img // 24, img // 8)
+            r0 = rng.randint(0, img - ph)
+            c0 = rng.randint(0, img - pw)
+            marks[r0:r0 + ph, c0:c0 + pw] = 0.0
+            ground[r0:r0 + ph, c0:c0 + pw] = rng.normal(
+                35, 8, (ph, pw)).clip(0, 255)
     intensity = np.where(marks > 0, rng.normal(220, 15, (img, img)), ground)
+    if hard:  # sensor intensity speckle
+        intensity = intensity + rng.normal(0, 6, (img, img))
     intensity = intensity.clip(0, 255).astype(np.uint8)
     return np.stack([intensity] * 3, axis=-1)  # 3-channel like cropped_tiff
 
@@ -222,8 +299,14 @@ def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
                      n_lanes_range=(3, 7), seed: int = 0,
                      splits=None, with_params: bool = False,
                      with_points: bool = False,
-                     points_per_tile: int = 20000) -> List[str]:
-    """Write ``n_tiles`` synthetic tiles + labels + split file under ``root``."""
+                     points_per_tile: int = 20000,
+                     hard: bool = False) -> List[str]:
+    """Write ``n_tiles`` synthetic tiles + labels + split file under ``root``.
+
+    ``hard=False`` is byte-stable across releases (the benchmark set);
+    ``hard=True`` switches to `hard_lane_seqs` geometry (curves, merges,
+    crossings) and the degraded intensity render (dropout, occlusion,
+    dash-density variation) — the adversarial soak set."""
     from PIL import Image
 
     rng = np.random.RandomState(seed)
@@ -240,13 +323,14 @@ def generate_dataset(root: str, n_tiles: int = 8, img: int = 1152,
         stem = f"{190000 + i:06d}_{i:04d}"
         stems.append(stem)
         n_lanes = rng.randint(*n_lanes_range)
-        seqs = random_lane_seqs(rng, img, n_lanes)
+        seqs = (hard_lane_seqs if hard else random_lane_seqs)(
+            rng, img, n_lanes)
         semantics = [int(rng.randint(1, 3)) for _ in seqs]
         seqs, semantics, orients = select_and_order_lanes(
             seqs, semantics, top_k=20, col_range=(0, img))
         maps = render_labels(seqs, semantics, orients, img, img)
         Image.fromarray(render_intensity_image(
-            seqs, img, rng, semantics=semantics)).save(
+            seqs, img, rng, semantics=semantics, hard=hard)).save(
             os.path.join(img_dir, stem + ".png"))
         Image.fromarray(maps["semantic"]).save(
             os.path.join(dirs["semantic"], stem + ".png"))

@@ -93,11 +93,21 @@ void lm_thin_vertex_grid(double* occ, const double* conf, int rows, int cols,
     }
     return;
   }
+  // Windows are centered ONLY on the row's occupied columns, snapshotted
+  // before any thinning (decode/postprocess.py thin_vertex_grid: the numpy
+  // `cols = nonzero(out[r])` is taken once per row).  Sliding a window over
+  // every column instead also thins vertex pairs 5..7 px apart that no
+  // occupied-centered window contains — a divergence the near-parallel
+  // merge geometry exposes (tests/test_native.py adversarial cases).
+  std::vector<int> cols0;
   for (int r = 0; r < rows; ++r) {
     double* row = occ + r * cols;
     const double* crow = conf + r * cols;
-    for (int c = half_k - 1; c <= cols - half_k; ++c) {
-      if (c < 0) continue;
+    cols0.clear();
+    for (int k = 0; k < cols; ++k)
+      if (row[k] > 0) cols0.push_back(k);
+    if (cols0.size() < 2) continue;
+    for (int c : cols0) {
       int lo = c - half_k, hi = c + half_k;
       if (lo < half_k - 1 || hi > cols - half_k) continue;
       int cnt = 0;

@@ -53,6 +53,64 @@ def test_native_nms_matches_numpy(seed):
     np.testing.assert_allclose(got, want, atol=1e-9)
 
 
+def _adversarial_decode(kind, seed, P=72, S=144, img=1152):
+    """Tracker/NMS stress geometry (VERDICT r4 #7): crossings, near-parallel
+    merges and branches — the configurations real intersections produce and
+    uniform-random tracks never do."""
+    rng = np.random.RandomState(seed)
+    coors = np.full((P, S), -1.0)
+
+    def put(track_cols, r0, r1, p):
+        rows = np.arange(r0, r1)
+        cols = np.asarray(track_cols)[r0:r1]
+        for dp in (0, 1):  # each lane activates two adjacent proposals
+            keep = rng.rand(len(rows)) > (0.05 if dp == 0 else 0.55)
+            coors[min(p + dp, P - 1), rows[keep]] = np.clip(
+                cols[keep] + rng.randn(keep.sum()) * 0.8, 1, img - 2)
+
+    t = np.linspace(0.0, 1.0, S)
+    if kind == "crossing":
+        a0, a1 = rng.uniform(150, 400), rng.uniform(700, 1000)
+        put(a0 + (a1 - a0) * t, 5, S - 5, int(a0 / 16))
+        put(a1 + (a0 - a1) * t, 5, S - 5, int(a1 / 16))
+    elif kind == "merge":
+        base = rng.uniform(400, 700)
+        put(np.full(S, base), 0, S, int(base / 16))
+        # second lane converges to within ~4 px over the bottom half
+        start = base + rng.uniform(60, 120) * rng.choice([-1, 1])
+        conv = start + (base + 4.0 - start) * np.clip(t * 2 - 0.2, 0, 1)
+        put(conv, 10, S, int(start / 16))
+    else:  # branch: shared top, diverging bottoms
+        base = rng.uniform(400, 700)
+        left = base - np.clip((t - 0.4) * 300, 0, None)
+        right = base + np.clip((t - 0.4) * 300, 0, None)
+        put(left, 0, S - 3, int(base / 16))
+        put(right, 3, S, int(base / 16) + 2)
+    orient = rng.randint(0, 11, (S, S)).astype(np.int64)
+    seg_conf = rng.rand(S, img)
+    return coors, orient, seg_conf
+
+
+@pytest.mark.parametrize("kind", ["crossing", "merge", "branch"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_adversarial_geometry_parity(kind, seed):
+    """Crossing / near-parallel-merge / branch tiles: native tracker+NMS
+    stay bit-exact with NumPy on the hard cases, and the pipeline still
+    emits at least one lane (no degenerate empty output)."""
+    coors, orient, seg_conf = _adversarial_decode(kind, seed)
+    want = smooth_lanes(coors.copy(), orient, seg_conf=seg_conf,
+                        complete_inner_nodes=True)
+    got = smooth_lanes_native(coors.copy(), orient, seg_conf, True, 1152)
+    assert got is not None
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+    want_nms = polyline_nms(want.copy(), seg_conf)
+    got_nms = polyline_nms_native(got.copy(), seg_conf, 1152)
+    assert got_nms is not None
+    np.testing.assert_allclose(got_nms, want_nms, atol=1e-9)
+    assert (want_nms.max(axis=1) > 0).sum() >= 1
+
+
 def test_native_faster_than_numpy():
     import time
     coors, orient, seg_conf = _random_decode(7, n_lanes=6)

@@ -224,6 +224,25 @@ def port_state_dict(sd: Dict[str, np.ndarray], params: Dict,
     params = jax.tree.map(np.asarray, params)
     batch_stats = jax.tree.map(np.asarray, batch_stats)
     rules = rules or build_rules()
+
+    def _has(tree, path):
+        node = tree
+        for p in path.split("/"):
+            if not isinstance(node, dict) or p not in node:
+                return False
+            node = node[p]
+        return True
+
+    if _has(params, "pcencoder/conv1_s2d/kernel"):
+        # space-to-depth stem (resnet_fpn.s2d_stem): the torch 7x7/s2 stem
+        # kernel ports bit-exactly through the s2d regrouping
+        def _conv_s2d(w):
+            from ..models.resnet_fpn import s2d_stem_kernel
+            return s2d_stem_kernel(_conv(w))
+        rules = [(t, "pcencoder/conv1_s2d/kernel", _conv_s2d)
+                 if (t, j) == ("pcencoder.fpn.conv1.weight",
+                               "pcencoder/conv1/kernel") else (t, j, tf)
+                 for (t, j, tf) in rules]
     # stack the reference's per-proposal position embeddings emb_{i}
     # (`polyline_fpn_vit_vertex_2.py:163-164`) into one [P, dim_token] table
     import re

@@ -165,3 +165,49 @@ def test_column_head_att_branches_shapes(tiny_cfg):
         assert out["cls2"].shape == (2, P, S, W)
         assert out["offset2"].shape == (2, P, S, W)
         assert np.isfinite(np.asarray(out["cls2"])).all()
+
+
+def test_s2d_stem_exactly_matches_7x7_stride2_stem():
+    """Space-to-depth stem (VERDICT r4 MFU lever): conv4x4/s1 on the 2x2
+    space-to-depth input with the transformed kernel reproduces the
+    reference 7x7/s2 stem bit-for-bit at every output position (borders
+    included), so ported checkpoints stay exact under `s2d_stem=True`."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lanemapping_tpu.models.resnet_fpn import s2d_stem_kernel
+
+    rng = np.random.RandomState(0)
+    B, H, C, F = 2, 48, 3, 8
+    x = jnp.asarray(rng.randn(B, H, H, C).astype(np.float32))
+    w7 = rng.randn(7, 7, C, F).astype(np.float32)
+
+    want = jax.lax.conv_general_dilated(
+        x, jnp.asarray(w7), window_strides=(2, 2),
+        padding=[(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    x2 = x.reshape(B, H // 2, 2, H // 2, 2, C)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, H // 2, 4 * C)
+    got = jax.lax.conv_general_dilated(
+        x2, jnp.asarray(s2d_stem_kernel(w7)), window_strides=(1, 1),
+        padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    assert want.shape == got.shape == (B, H // 2, H // 2, F)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
+
+
+def test_fpn_encoder_s2d_stem_forward(tiny_cfg):
+    """FPNEncoder(s2d_stem=True) keeps the output contract."""
+    import jax
+    import jax.numpy as jnp
+    from lanemapping_tpu.models.resnet_fpn import FPNEncoder
+
+    m = FPNEncoder(resnet="resnet18", s2d_stem=True)
+    x = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), x, train=False)
+    fea, fea_up, bi_seg, endp = m.apply(vars_, x, train=False)
+    assert fea.shape[1] == 12 and bi_seg.shape[1:3] == (96, 96)
+    assert "conv1_s2d" in vars_["params"]

@@ -213,9 +213,14 @@ def main():
     def postprocess(dec_dev, names):
         # device->host readback inside the worker so the main loop keeps
         # the chip fed; tracker/NMS/semantics/render follow on this thread.
-        # Returns this batch's polyline arc length in px (summed by the
-        # main thread — workers must not share a counter).
+        # Returns (polyline arc length px, readback seconds, host-postproc
+        # seconds) — summed by the main thread; workers must not share a
+        # counter.  The readback/host split attributes each run's rate to
+        # link vs CPU (VERDICT r4 #5: measured components per run).
+        t0 = time.time()
         dec_host = jax.device_get(dec_dev)
+        t_read = time.time() - t0
+        t0 = time.time()
         maps = lane_maps_from_decode(dec_host, cfg)
         px = 0.0
         for j, name in enumerate(names):
@@ -227,7 +232,7 @@ def main():
                     px += float(np.sum(np.hypot(d[:, 0], d[:, 1])))
             with open(os.path.join(lanes_dir, f"{name}.json"), "w") as f:
                 json.dump(recs, f)
-        return px
+        return px, t_read, time.time() - t0
 
     def batch_stream():
         for i, b in enumerate(loader):
@@ -250,12 +255,31 @@ def main():
     import itertools
     stream = itertools.chain([head], stream)
 
+    # link-phase probe: the shared tunnel fluctuates 2-3x between runs
+    # (round-3 measurement); an 8 MB H2D + D2H timing immediately before
+    # the timed region stamps this run with the phase it actually sampled
+    probe_mb = 8.0
+    buf = np.zeros(int(probe_mb * 1e6), np.uint8)
+    t0 = time.time()
+    dev_buf = jax.device_put(buf)
+    _ = np.asarray(dev_buf[:16])  # force transfer completion
+    h2d_s = time.time() - t0
+    t0 = time.time()
+    _ = np.asarray(dev_buf)
+    d2h_s = time.time() - t0
+    probe = {"probe_h2d_mbps": round(probe_mb / max(h2d_s, 1e-9), 1),
+             "probe_d2h_mbps": round(probe_mb / max(d2h_s, 1e-9), 1)}
+    del dev_buf, buf
+
     t0 = time.time()
     for proj_u8, names in stream:
         dec = fwd_dec(state, put(proj_u8))
         pending.append(pool.submit(postprocess, dec, names))
         n_tiles += len(names)
-    lane_px_total = sum(p.result() for p in pending)
+    results = [p.result() for p in pending]
+    lane_px_total = sum(r[0] for r in results)
+    readback_s = sum(r[1] for r in results)
+    post_host_s = sum(r[2] for r in results)
     dt = time.time() - t0
     tiles_s = n_tiles / max(dt, 1e-9)
     # km of lane line produced per hour: polyline arc length in px * the
@@ -272,6 +296,12 @@ def main():
             "unit": "tiles/s",
             "km_lane_per_hour": round(km_lane_h, 1),
             "n_tiles": n_tiles,
+            # measured components (worker-thread sums overlap the dispatch
+            # loop, so they attribute rather than add up to wall time)
+            "readback_s_sum": round(readback_s, 2),
+            "post_host_s_sum": round(post_host_s, 2),
+            "wall_s": round(dt, 2),
+            **probe,
         }
         if args.from_las:
             n_pts = cfg.get("max_points", 1 << 19)

@@ -69,6 +69,12 @@ def main_train():
     cfg.fused_seg_focal = fused
     cfg.seg_focal_chunks = int(os.environ.get("BENCH_SEG_CHUNKS", "1"))
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))  # TRAIN_BENCH winner
+    # generic overrides for one-off A/B cells (e.g. BENCH_SET="s2d_stem=True"
+    # for the space-to-depth stem): same key=value syntax as soak_run --set
+    if os.environ.get("BENCH_SET"):
+        from lanemapping_tpu.config.config import parse_dict_action
+        cfg.merge_from_dict(parse_dict_action(
+            os.environ["BENCH_SET"].split(";")))
     img = cfg.list_img_size_xy[0]
     S, P = cfg.heads.row_size, cfg.heads.num_prop
     W = cfg.heads.prop_width + 2 * cfg.heads.prop_half_buff

@@ -130,6 +130,16 @@ def _validate_with(args, ckpt, overrides, max_batches=None):
     return m
 
 
+def stage_validate(args, rec):
+    """Eval-only pass on --data-root with --ckpt (e.g. a hard-geometry set
+    evaluated with a checkpoint trained on the benign benchmark set —
+    VERDICT r4 #7's train/test stress split)."""
+    ckpt = rec.get("train", {}).get("ckpt") or args.ckpt
+    assert ckpt, "validate stage needs a checkpoint (run train or pass --ckpt)"
+    rec["validate"] = {"ckpt": ckpt, "data_root": args.data_root,
+                       **_validate_with(args, ckpt, {})}
+
+
 def stage_endp(args, rec):
     ckpt = rec.get("train", {}).get("ckpt") or args.ckpt
     assert ckpt, "endp stage needs a checkpoint (run train or pass --ckpt)"
@@ -284,7 +294,8 @@ def main():
         "devices": [str(d) for d in jax.devices()],
         "date": time.strftime("%Y-%m-%d"),
     })
-    stages = {"train": stage_train, "endp": stage_endp,
+    stages = {"train": stage_train, "validate": stage_validate,
+              "endp": stage_endp,
               "refkit": stage_refkit, "refkit_lidar": stage_refkit_lidar,
               "stream": stage_stream, "lidar": stage_lidar}
     for name in args.stages.split(","):

@@ -23,7 +23,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cell(batch: int, remat: str, iters: int) -> dict:
+def run_cell(batch: int, remat: str, iters: int, sets: str = "") -> dict:
     env = dict(os.environ, BENCH_TRAIN_BATCH=str(batch),
                BENCH_TRAIN_ITERS=str(iters))
     if remat == "none":
@@ -31,12 +31,16 @@ def run_cell(batch: int, remat: str, iters: int) -> dict:
     else:
         env["BENCH_REMAT"] = "1"
         env["BENCH_REMAT_POLICY"] = remat
+    if sets:
+        env["BENCH_SET"] = sets
     t0 = time.time()
     p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
                         "--train"], env=env, capture_output=True, text=True,
                        timeout=3600)
     cell = {"batch": batch, "remat_policy": remat,
             "wall_s": round(time.time() - t0, 1)}
+    if sets:
+        cell["set"] = sets
     rec = None
     for line in p.stdout.splitlines():
         line = line.strip()
@@ -66,6 +70,9 @@ def main():
                     help="additionally run remat=none at this batch "
                          "(0 to skip)")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--sets", default="",
+                    help="semicolon-separated cfg overrides applied to every "
+                         "cell via BENCH_SET (e.g. 's2d_stem=True')")
     ap.add_argument("--out", default=os.path.join(REPO, "TRAIN_BENCH.json"))
     args = ap.parse_args()
 
@@ -89,7 +96,7 @@ def main():
         cells.append((args.also_none_at, "none"))
     for b, pol in cells:
         print(f"[mfu_sweep] batch={b} remat={pol} ...", flush=True)
-        cell = run_cell(b, pol, args.iters)
+        cell = run_cell(b, pol, args.iters, args.sets)
         record["cells"].append(cell)
         with open(args.out, "w") as f:
             json.dump(record, f, indent=1)

@@ -189,6 +189,31 @@ def test_synthetic_dataset_end_to_end(tmp_path, tiny_cfg):
     assert batch["prop_coor"].shape == (2, P, S)
 
 
+def test_synthetic_hard_mode_dataset_roundtrip(tmp_path, tiny_cfg):
+    """hard=True (curved/merging/crossing geometry + degraded intensity,
+    VERDICT r4 #7) must produce the same label-tree contract as the benign
+    generator: loadable GT, occupied proposals, valid endpoint maps."""
+    from lanemapping_tpu.data.synthetic import generate_dataset
+    from lanemapping_tpu.data.laserlane import LaserLaneProposal
+
+    cfg = tiny_cfg
+    img = cfg.list_img_size_xy[0]
+    generate_dataset(str(tmp_path), n_tiles=4, img=img, seed=9, hard=True)
+
+    ds = LaserLaneProposal(str(tmp_path), mode="train", cfg=cfg)
+    assert len(ds) >= 1
+    s = ds[0]
+    S, P = cfg.heads.row_size, cfg.heads.num_prop
+    assert s["proj"].shape == (img, img, 3)
+    assert s["prop_ext"].shape == (P, S)
+    assert (s["prop_ext"] > 0).any()
+    assert s["endp_map"].shape == (img, img)
+    assert float(s["endp_map"].max()) <= 1.0 + 1e-6
+    assert (s["endp_map"] > 0.5).any()  # at least one endpoint peak
+    # degraded render stays a valid intensity image
+    assert s["proj"].dtype == np.uint8 or np.isfinite(s["proj"]).all()
+
+
 @pytest.mark.parametrize("seed", [5, 7, 11])
 def test_prop_inst_windows_equal_prop_bi_seg(seed):
     """(window of merged instance map == assigned lane id) must reproduce the

@@ -14,6 +14,7 @@ def synth_root(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_lanemapper_map_and_evaluate(tiny_cfg, synth_root, tmp_path):
     from lanemapping_tpu.api import LaneMapper
 
@@ -68,6 +69,7 @@ def test_pth_checkpoint_roundtrip(tiny_cfg, tmp_path):
     assert "pcencoder/conv1/kernel" in report["ported"]
 
 
+@pytest.mark.slow
 def test_mixed_precision_train_step(tiny_cfg, synth_root, tmp_path):
     import jax
     from lanemapping_tpu.engine.runner import Runner

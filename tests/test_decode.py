@@ -297,6 +297,7 @@ def test_thin_vertex_grid_first_row_native_matches_python():
         np.testing.assert_allclose(got, want, err_msg=f"first={first}")
 
 
+@pytest.mark.slow
 def test_bi_seg_rows_u8_quantization_delta(tiny_cfg):
     """Streaming readback ships the anchor-row conf map as uint8
     (tools/stream_map.py): every host read is a comparison, so a monotone

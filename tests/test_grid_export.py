@@ -53,6 +53,7 @@ def _mk_runner(tiny_cfg, tmp_path, heads, dataset="LaserLane"):
     return runner, loader
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("head_type", ["RowSharNotReducRef", "GridSeg"])
 def test_infer_grid_and_export(tiny_cfg, tmp_path, head_type):
     if head_type == "RowSharNotReducRef":

@@ -51,6 +51,7 @@ def test_decode_row_lanes():
     np.testing.assert_array_equal(cols, cls[0, 0].argmax(-1))
 
 
+@pytest.mark.slow
 def test_validate_rowshar_branch(tiny_cfg, tmp_path):
     from lanemapping_tpu.data.synthetic import generate_dataset
     from lanemapping_tpu.engine.runner import Runner

@@ -86,6 +86,7 @@ def test_convert_las_directory_writes_cropped_tiff(las_root, tmp_path):
     assert r > 0.5
 
 
+@pytest.mark.slow
 def test_stream_map_from_las_end_to_end(las_root, tmp_path):
     """Raw .las -> fused on-device rasterize+forward+decode -> lane JSONs,
     through the real CLI on the 8-device CPU mesh."""

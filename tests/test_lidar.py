@@ -77,6 +77,7 @@ def test_las_roundtrip(tmp_path):
     assert norm[:, 3].min() >= 0.0 and norm[:, 3].max() <= 1.0
 
 
+@pytest.mark.slow
 def test_lidar_encoder_contract():
     import jax
     import jax.numpy as jnp
@@ -101,6 +102,7 @@ def test_lidar_encoder_contract():
     assert endp.shape == (1, 8 * S, 8 * S, 1)
 
 
+@pytest.mark.slow
 def test_first_k_in_voxel_matches_loop_oracle():
     """ref_exact_voxel_cap: first-K-in-original-order per voxel (mmdet3d
     hard voxelizer max_num_points semantics)."""
@@ -126,6 +128,7 @@ def test_first_k_in_voxel_matches_loop_oracle():
         np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_voxelize_mean_cap_changes_only_crowded_voxels():
     import jax.numpy as jnp
     from lanemapping_tpu.ops.voxelize import voxelize_mean
@@ -164,6 +167,7 @@ def test_bicubic_resize_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lidar_encoder_ref_exact_flags_forward(tiny_lidar_cfg=None):
     """Both ref-exact flags produce a working forward with the same output
     contract."""

@@ -35,6 +35,7 @@ def lidar_cfg(lidar_root, tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_lidar_runner_trains_with_decreasing_loss(lidar_cfg):
     from lanemapping_tpu.data.loader import build_dataloader
     from lanemapping_tpu.engine.runner import Runner
@@ -54,6 +55,7 @@ def test_lidar_runner_trains_with_decreasing_loss(lidar_cfg):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_lidar_runner_validate_and_infer(lidar_cfg, tmp_path):
     from lanemapping_tpu.data.loader import build_dataloader
     from lanemapping_tpu.engine.runner import Runner

@@ -106,6 +106,7 @@ def reference_loss_torch(out, batch, *, S, P, W, n_orients, ext_w, lambda_cls,
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1])
 def test_column_loss_matches_reference_transcription(seed, tiny_cfg):
     import jax.numpy as jnp
@@ -162,6 +163,7 @@ def test_column_loss_matches_reference_transcription(seed, tiny_cfg):
         assert jv == pytest.approx(float(tv), rel=2e-4, abs=1e-5), k
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chunks", [1, 8])
 def test_fused_seg_focal_matches_unfused(tiny_cfg, chunks):
     """The fused chunked seg-focal (device-side GT from the merged instance

@@ -51,6 +51,7 @@ def test_detector_forward_shapes(tiny_cfg):
     assert "prop_bi_seg" not in out
 
 
+@pytest.mark.slow
 def test_detector_train_has_prop_seg_and_loss(tiny_cfg):
     cfg = tiny_cfg
     # unfused path: the model materialises the upsampled per-proposal seg
@@ -132,6 +133,7 @@ def test_patchify_inverse():
     np.testing.assert_allclose(np.asarray(y), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_column_head_att_branches_shapes(tiny_cfg):
     """column_att and the column_transformer_decoder equivalent (the
     reference's own branch is broken: `polyline_fpn_vit_vertex_2.py:346-351`
@@ -199,6 +201,7 @@ def test_s2d_stem_exactly_matches_7x7_stride2_stem():
                                rtol=0, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fpn_encoder_s2d_stem_forward(tiny_cfg):
     """FPNEncoder(s2d_stem=True) keeps the output contract."""
     import jax

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_bev_bin_sums_matches_scatter():
     import jax.numpy as jnp
     from pallas_reference_bev import bev_bin_sums
@@ -30,6 +31,7 @@ def test_bev_bin_sums_matches_scatter():
     np.testing.assert_allclose(np.asarray(cnts), want_c, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_rasterize_matches_xla():
     import jax.numpy as jnp
     from pallas_reference_bev import \
@@ -53,6 +55,7 @@ def test_pallas_rasterize_matches_xla():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_zfold_matches_xla():
     import jax.numpy as jnp
     from pallas_reference_bev import voxelize_bev_zfold_pallas
@@ -75,6 +78,7 @@ def test_pallas_zfold_matches_xla():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_zfold_nonmultiple_width_matches_xla():
     """The real LiDAR grid is 576 wide (not a 128 multiple): the kernel pads
     the lane axis internally and slices back."""

@@ -139,6 +139,7 @@ def test_global_batch_stats_under_pjit():
     np.testing.assert_allclose(mean, [x.mean()], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_streaming_decode_equals_single_device(tiny_cfg):
     """The stream_map SPMD inference program (fused forward + XLA decode,
     batch sharded over the 8-device mesh) must return a batch-sharded decode

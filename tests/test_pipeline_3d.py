@@ -20,6 +20,7 @@ def synth_full(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.slow
 def test_infer_export_img2pc_merge(tiny_cfg, synth_full, tmp_path):
     import jax
     from lanemapping_tpu.engine.runner import Runner
@@ -59,6 +60,7 @@ def test_infer_export_img2pc_merge(tiny_cfg, synth_full, tmp_path):
     assert os.path.isfile(merged_txt)
 
 
+@pytest.mark.slow
 def test_resume_latest(tiny_cfg, synth_full, tmp_path):
     import jax
     from lanemapping_tpu.engine.runner import Runner

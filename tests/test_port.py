@@ -38,6 +38,7 @@ def test_upsample_then_avgpool_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_conv_layout_matches_torch():
     import jax
     import jax.numpy as jnp

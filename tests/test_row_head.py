@@ -1,10 +1,12 @@
 """KLane-baseline head tests (RowSharNotReducRef, GridSeg)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@pytest.mark.slow
 def test_row_shar_forward_and_loss():
     from lanemapping_tpu.models.row_head import (RowSharNotReducRef,
                                                  row_shar_loss)
@@ -32,6 +34,7 @@ def test_row_shar_forward_and_loss():
                                       "cls_loss2"}
 
 
+@pytest.mark.slow
 def test_grid_seg_forward_and_loss():
     from lanemapping_tpu.models.row_head import GridSeg, grid_seg_loss
 
@@ -47,6 +50,7 @@ def test_grid_seg_forward_and_loss():
     assert np.isfinite(float(res["loss"]))
 
 
+@pytest.mark.slow
 def test_pixel_seg_forward_loss_decode():
     """PixelSeg: working realisation of the reference's broken stub
     (`pixel_seg.py` references undefined num_1) — registry build, per-pixel

@@ -2,6 +2,7 @@
 `row_shared_base.py`): registry build, forward contract, loss reuse,
 row-transformer gradient flow, Regr endpoint branch."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +25,7 @@ def _head(S=24, P=12, endp_mode="endpoint"):
              row_tr_mlp_dim=64, endp_mode=endp_mode), HEADS)
 
 
+@pytest.mark.slow
 def test_base_forward_contract_matches_column_proposal():
     """Same output keys/shapes as ColumnProposal2 so the standard loss and
     decode apply (reference forward returns the same dict, `:426-559`)."""
@@ -43,6 +45,7 @@ def test_base_forward_contract_matches_column_proposal():
         assert np.all(np.isfinite(np.asarray(a, np.float32))), k
 
 
+@pytest.mark.slow
 def test_base_loss_reuses_column_proposal_loss_and_trains():
     from lanemapping_tpu.models.head_losses import column_proposal_loss
 
@@ -95,6 +98,7 @@ def test_base_loss_reuses_column_proposal_loss_and_trains():
     assert float(loss_fn(v2)) < float(l0)
 
 
+@pytest.mark.slow
 def test_base_regr_endpoint_branch():
     from lanemapping_tpu.models.row_head_base import endp_regression_loss
 

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_swin_stages_and_shapes():
     import jax
     import jax.numpy as jnp
@@ -18,6 +19,7 @@ def test_swin_stages_and_shapes():
     assert outs[1].shape == (2, 8, 8, 64)
 
 
+@pytest.mark.slow
 def test_swin_shifted_window_mask_changes_output():
     import jax
     import jax.numpy as jnp

@@ -121,6 +121,7 @@ def test_io_roundtrip(tmp_path):
     np.testing.assert_allclose(init_pts[1], seqs[1][0])
 
 
+@pytest.mark.slow
 def test_stream_map_multichip_cpu_mesh(tmp_path):
     """stream_map shards the tile batch over the 8-device CPU mesh and
     produces per-tile lane JSONs (the inference analogue of the pjit

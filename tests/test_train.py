@@ -22,6 +22,7 @@ def _patch_cfg_paths(cfg, root, tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_detector_train_steps_decrease_loss(tiny_cfg, synth_root, tmp_path):
     from lanemapping_tpu.engine.runner import Runner
     from lanemapping_tpu.data.loader import build_dataloader
@@ -43,6 +44,7 @@ def test_detector_train_steps_decrease_loss(tiny_cfg, synth_root, tmp_path):
     assert int(runner.state.step) == len(losses)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tiny_cfg, synth_root, tmp_path):
     from lanemapping_tpu.engine.runner import Runner
     from lanemapping_tpu.engine.checkpoint import load_model, save_model
@@ -74,6 +76,7 @@ def test_checkpoint_roundtrip(tiny_cfg, synth_root, tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_mono_channel_shipping_is_bit_identical(tiny_cfg, synth_root,
                                                 tmp_path):
     """BEV intensity tiles are one channel replicated to 3; `_device_batch`
@@ -118,6 +121,7 @@ def test_mono_channel_shipping_is_bit_identical(tiny_cfg, synth_root,
                                    rtol=0, atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_optimizer_mu_dtype_lever(tiny_cfg, synth_root, tmp_path):
     """`optimizer.mu_dtype = "bfloat16"` stores Adam's first moment in bf16
     (VERDICT r3 weak #1 optimizer-state dtype lever) without breaking the

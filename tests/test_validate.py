@@ -19,6 +19,7 @@ def _wire(cfg, root, tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_validate_segmentor(tiny_cfg, synth_root, tmp_path):
     from lanemapping_tpu.engine.runner import Runner
 
@@ -84,6 +85,7 @@ def test_validate_lanes_reports_semantic_f1(tiny_cfg, synth_root, tmp_path):
     assert 0.0 <= m["semantic_f1"] <= 1.0
 
 
+@pytest.mark.slow
 def test_segmentor_export_driver(tiny_cfg, synth_root, tmp_path):
     """Reference `infer_lane_geometry_segmentation_segmentor`
     (`runner.py:945-1036`): accumulated coor/semantic conf F1 + seg and
@@ -110,6 +112,7 @@ def test_segmentor_export_driver(tiny_cfg, synth_root, tmp_path):
     assert any(p.endswith("_seg_skeleton.png") for p in pngs)
 
 
+@pytest.mark.slow
 def test_get_lane_map_on_source_image_surface(tiny_cfg, synth_root, tmp_path):
     """Full pred_maps dict (reference
     `polyline_fpn_vit_vertex_2.py:926-1083`), incl. view_detail variants."""

@@ -255,6 +255,16 @@ def main():
     n2 = 2 * n1
     run1, run2 = loop(n1), loop(n2)
 
+    # exact HBM high-water of the inference executable (args + outputs +
+    # live temporaries) — backs the batch-ceiling table in ARCHITECTURE.md
+    try:
+        mem = run1.lower(proj).compile().memory_analysis()
+        infer_hbm_gb = round(
+            (mem.argument_size_in_bytes + mem.output_size_in_bytes +
+             mem.temp_size_in_bytes) / 2**30, 3)
+    except Exception:
+        infer_hbm_gb = None
+
     def timed(run):
         r = np.asarray(run(proj))  # array readback = real sync on axon
         t0 = time.perf_counter()
@@ -282,6 +292,7 @@ def main():
                                "pipelined-deployment middle)",
         "projected_8chip_vs_baseline": round(
             tiles_per_sec * N_CHIPS_TARGET / BASELINE_4090_TILES_PER_SEC, 2),
+        "hbm_highwater_gb": infer_hbm_gb,
     }
     # end-to-end numbers (forward + decode + host tracker/NMS/semantics/
     # render + JSON export) recorded by `tools/stream_map.py --bench-json`

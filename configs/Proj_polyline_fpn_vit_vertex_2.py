@@ -83,7 +83,13 @@ endp_keep_line_ends = True
 show_result = False
 view_detail = False
 
-optimizer = dict(type="Adam", lr=0.00015)
+# Reference lr is 1.5e-4 at batch 6 (its config :117).  With the batch-8
+# default the round-5 lr sweep (LR_SWEEP.json, 16-epoch soak protocol)
+# measured composite 0.936 @ 1.5e-4 vs 0.9412 @ 2.1e-4 (sqrt(2)-scaled),
+# recovering half the batch-4->8 regression at the same 2.3x training
+# speed; 2.1e-4 ships.  See ARCHITECTURE.md "Round 5: the lr-scaling
+# sweep" for the step-count analysis of the residual gap.
+optimizer = dict(type="Adam", lr=0.00021)
 
 epochs = 45
 # Reference trains batch 6 (its config :123).  The TPU sweep

@@ -258,15 +258,21 @@ def main():
     # link-phase probe: the shared tunnel fluctuates 2-3x between runs
     # (round-3 measurement); an 8 MB H2D + D2H timing immediately before
     # the timed region stamps this run with the phase it actually sampled
+    # (No program compiles here: a sliced readback would trace a tiny slice
+    # executable that the persistent cache skips — min-compile-time floor —
+    # costing a fresh ~2 min tunnel compile per process and polluting the
+    # timing.  Full-array readbacks are runtime transfers, compile-free:
+    # round trip = H2D+D2H, second readback = D2H alone, difference = H2D.)
     probe_mb = 8.0
     buf = np.zeros(int(probe_mb * 1e6), np.uint8)
     t0 = time.time()
     dev_buf = jax.device_put(buf)
-    _ = np.asarray(dev_buf[:16])  # force transfer completion
-    h2d_s = time.time() - t0
+    _ = np.asarray(dev_buf)  # forces the upload, then reads back
+    rtt_s = time.time() - t0
     t0 = time.time()
     _ = np.asarray(dev_buf)
     d2h_s = time.time() - t0
+    h2d_s = max(rtt_s - d2h_s, 1e-9)
     probe = {"probe_h2d_mbps": round(probe_mb / max(h2d_s, 1e-9), 1),
              "probe_d2h_mbps": round(probe_mb / max(d2h_s, 1e-9), 1)}
     del dev_buf, buf
